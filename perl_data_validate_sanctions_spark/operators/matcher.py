@@ -1,0 +1,327 @@
+"""The tiered match semantics (reference §2.4 J1-J7) as one Catalyst
+query shape — no UDFs anywhere on this path.
+
+Reference lifecycle being reproduced
+(/root/reference/lib/Data/Validate/Sanctions.pm:217-319):
+
+1. J1  candidate retrieval: probe name tokens looked up in an inverted
+   token index, union of hits (Sanctions.pm:253-258). Here: explode the
+   probe token array and broadcast-hash-join the token index — the
+   inverted index IS the join; Catalyst plans a BroadcastHashJoin
+   because the dimension is small.
+2. J2  fuzzy token-overlap (``_name_matches``, Sanctions.pm:421-437):
+   count probe tokens present in the entry name's tokens **with probe
+   multiplicity** (a duplicated probe token counts twice — reproduced
+   via ``size(filter(ptokens, t -> array_contains(ntokens, t)))``);
+   match iff count > 1, or count == 1 and min(|probe|,|entry|) == 1.
+3. J3  conjunctive optional-field filter (``_match_other_fields``,
+   Sanctions.pm:144-158): for each of 7 fields, if both sides present,
+   probe value must be a member of the entry array, else the candidate
+   dies; matched fields are reported.
+4. J5  no-DOB-probe short-circuit (Sanctions.pm:270), then
+   J4  DOB membership — epoch first, then year (Sanctions.pm:278-283),
+   then J6 the dob_text / entry-without-DOB fallback requiring exact
+   cleaned full-name equality (Sanctions.pm:286-315).
+5. J7  verdict struct ``{matched, list, matched_args, comment}``
+   (``_possible_match``, Sanctions.pm:401-410).
+
+Determinism refinement (documented, SURVEY §2.4): the reference scans
+entries in Perl hash order and returns the first hit; we evaluate all
+candidates and keep the minimum of (tier, source, name, entry_id) —
+direct-DOB tiers always beat the dob_text fallback tier, matching the
+reference's two-pass structure.
+
+Scale shape: the only shuffle is the final ``groupBy(probe_id)`` over
+candidate-bearing rows — for a 10^12-row caption table where ~2% of
+captions share any token with the dimension, that shuffle carries ~2%
+of rows with a handful of small columns. ``bytes`` is never selected
+on this path (column pruning keeps it out of the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.country import country_code
+from ..functions.dates import date_to_epoch, epoch_year
+from ..functions.normalize import (
+    clean_full_name,
+    clean_name_tokens,
+    process_name,
+    ucfirst,
+)
+from ..schema import OPTIONAL_MATCH_FIELDS
+
+# built lazily — Column construction needs an active session
+def _empty(t: str) -> Column:
+    return F.array().cast(f"array<{t}>")
+
+
+_DIM_PREFIX = "__e_"
+
+
+def build_name_dim(entries: DataFrame) -> DataFrame:
+    """One row per (entry, alias): the reference's ``_index`` multimap
+    (Sanctions.pm:360-382) with per-name token arrays
+    (Sanctions.pm:343-345). Names are ucfirst'd at index time
+    (Sanctions.pm:371)."""
+    name = ucfirst(F.col("raw_name"))
+    return (
+        entries.select(
+            F.col("entry_id"),
+            F.col("source"),
+            F.explode("names").alias("raw_name"),
+            *[F.col(f) for f in ("dob_epoch", "dob_year", "dob_text")],
+            *[F.col(f) for f in OPTIONAL_MATCH_FIELDS],
+        )
+        .withColumn("name", name)
+        .withColumn("name_tokens", clean_name_tokens(name))
+        .withColumn("name_clean_full", clean_full_name(name))
+        .drop("raw_name")
+    )
+
+
+def build_token_index(name_dim: DataFrame) -> DataFrame:
+    """Inverted token index (Sanctions.pm:346-348): token → candidate row.
+    All candidate attributes ride along (prefixed) so the probe join is
+    a single broadcast hash join."""
+    prefixed = name_dim.select(
+        [F.col(c).alias(_DIM_PREFIX + c) for c in name_dim.columns]
+    )
+    return prefixed.select(
+        F.explode_outer(F.array_distinct(F.col(_DIM_PREFIX + "name_tokens"))).alias(
+            "__token"
+        ),
+        *[_DIM_PREFIX + c for c in name_dim.columns],
+    ).filter(F.col("__token").isNotNull())
+
+
+def _e(field: str) -> Column:
+    return F.col(_DIM_PREFIX + field)
+
+
+def _candidate_predicates(
+    ptokens: Column,
+    pfull: Column,
+    dob_provided: Column,
+    pepoch: Column,
+    pyear: Column,
+    probe_fields: dict[str, Column],
+) -> dict[str, Column]:
+    """All per-candidate predicate columns, given probe-side expressions."""
+    ntokens = _e("name_tokens")
+
+    # J2 — multiplicity-preserving hit count
+    n_hits = F.size(F.filter(ptokens, lambda t: F.array_contains(ntokens, t)))
+    min_size = F.least(F.size(ptokens), F.size(ntokens))
+    name_ok = (n_hits > 1) | ((n_hits == 1) & (min_size == 1))
+
+    # J3 — conjunctive optional fields
+    fields_ok = F.lit(True)
+    matched_fields: dict[str, Column] = {}
+    for f in OPTIONAL_MATCH_FIELDS:
+        p_f = probe_fields[f]
+        e_f = _e(f)
+        relevant = (
+            p_f.isNotNull() & (p_f != "") & e_f.isNotNull() & (F.size(e_f) > 0)
+        )
+        fields_ok = fields_ok & (~relevant | F.array_contains(e_f, p_f))
+        matched_fields[f] = F.when(relevant, p_f)
+
+    # J4/J5 — DOB tiers (epoch checked before year, Sanctions.pm:278)
+    e_epochs = F.coalesce(_e("dob_epoch"), _empty("long"))
+    e_years = F.coalesce(_e("dob_year"), _empty("int"))
+    e_texts = F.coalesce(_e("dob_text"), _empty("string"))
+    epoch_hit = (
+        dob_provided & pepoch.isNotNull() & F.array_contains(e_epochs, pepoch)
+    )
+    year_hit = (
+        dob_provided
+        & ~epoch_hit
+        & pyear.isNotNull()
+        & F.array_contains(e_years, pyear)
+    )
+    direct = ~dob_provided | epoch_hit | year_hit
+
+    # J6 — dob_text / no-DOB-entry fallback: exact cleaned-name equality
+    has_text = F.size(e_texts) > 0
+    no_ey = (F.size(e_epochs) == 0) & (F.size(e_years) == 0)
+    deferred = (
+        dob_provided
+        & ~epoch_hit
+        & ~year_hit
+        & (has_text | no_ey)
+        & (pfull == _e("name_clean_full"))
+    )
+
+    comment = F.when(
+        deferred & has_text,
+        F.concat(F.lit("dob raw text: "), F.array_join(e_texts, ", ")),
+    )
+    matched_args = F.struct(
+        _e("name").alias("name"),
+        *[matched_fields[f].alias(f) for f in OPTIONAL_MATCH_FIELDS],
+        F.when(epoch_hit, pepoch).alias("dob_epoch"),
+        F.when(year_hit, pyear).alias("dob_year"),
+    )
+    return dict(
+        candidate_ok=name_ok & fields_ok & (direct | deferred),
+        tier=F.when(direct, F.lit(1)).otherwise(F.lit(2)),
+        comment=comment,
+        matched_args=matched_args,
+    )
+
+
+def _miss_verdict() -> Column:
+    from ..schema import MATCHED_ARGS_SCHEMA
+
+    return F.struct(
+        F.lit(0).alias("matched"),
+        F.lit(None).cast("string").alias("list"),
+        F.lit(None).cast(MATCHED_ARGS_SCHEMA).alias("matched_args"),
+        F.lit(None).cast("string").alias("comment"),
+    )
+
+
+def match_probes(
+    probes: DataFrame,
+    entries: DataFrame,
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Full ``get_sanctioned_info`` over a probe table: returns the probe
+    table plus a ``verdict`` struct column (VERDICT_SCHEMA)."""
+    token_index = F.broadcast(build_token_index(build_name_dim(entries)))
+
+    full_name = process_name(
+        F.col("first_name"), F.coalesce(F.col("last_name"), F.lit(""))
+    )
+    pepoch = date_to_epoch(F.col("date_of_birth"))
+    prepared = (
+        probes.withColumn("__ptokens", clean_name_tokens(full_name))
+        .withColumn("__pfull", clean_full_name(full_name))
+        .withColumn("__dob_provided", F.col("date_of_birth").isNotNull())
+        .withColumn("__pepoch", pepoch)
+        .withColumn("__pyear", epoch_year(pepoch))
+    )
+    # probe-side country normalization (Sanctions.pm:235-240): unknown
+    # countries become '' which the field check then ignores (falsy in
+    # Perl) — NOT a mismatch.
+    probe_fields: dict[str, Column] = {}
+    for f in OPTIONAL_MATCH_FIELDS:
+        if f in ("place_of_birth", "residence", "nationality", "citizen"):
+            prepared = prepared.withColumn(
+                "__p_" + f,
+                F.when(
+                    F.col(f).isNotNull() & (F.col(f) != ""), country_code(F.col(f))
+                ),
+            )
+        else:
+            prepared = prepared.withColumn("__p_" + f, F.col(f))
+        probe_fields[f] = F.col("__p_" + f)
+
+    exploded = prepared.select(
+        F.col(probe_id_col).alias("__pid"),
+        "__ptokens",
+        "__pfull",
+        "__dob_provided",
+        "__pepoch",
+        "__pyear",
+        *["__p_" + f for f in OPTIONAL_MATCH_FIELDS],
+        F.explode("__ptokens").alias("__token"),
+    )
+    joined = exploded.join(token_index, "__token")
+
+    preds = _candidate_predicates(
+        F.col("__ptokens"),
+        F.col("__pfull"),
+        F.col("__dob_provided"),
+        F.col("__pepoch"),
+        F.col("__pyear"),
+        probe_fields,
+    )
+    verdict = F.struct(
+        F.lit(1).alias("matched"),
+        _e("source").alias("list"),
+        preds["matched_args"].alias("matched_args"),
+        preds["comment"].alias("comment"),
+    )
+    ranked = F.struct(
+        preds["tier"].alias("tier"),
+        _e("source").alias("source"),
+        _e("name").alias("name"),
+        _e("entry_id").alias("entry_id"),
+        verdict.alias("verdict"),
+    )
+    best = (
+        joined.filter(preds["candidate_ok"])
+        .groupBy("__pid")
+        .agg(F.min(ranked).alias("__best"))
+    )
+    out = probes.join(
+        best, probes[probe_id_col] == best["__pid"], "left"
+    ).withColumn(
+        "verdict", F.coalesce(F.col("__best.verdict"), _miss_verdict())
+    )
+    return out.drop("__pid", "__best")
+
+
+def match_captions(
+    images: DataFrame,
+    entries: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """The hot path: caption plays the probe full-name role
+    (BASELINE.json input_hint), no DOB / optional fields — the cascade
+    reduces to J1+J2 with the no-DOB short-circuit (J5).
+
+    Returns ONLY matched rows ``(id, list, name)`` — at 10^12 rows the
+    pass set is never materialized; per-partition pass counts come from
+    the runner. Only candidate-bearing rows (captions sharing ≥1 token
+    with the dimension) reach the shuffle.
+    """
+    token_index = F.broadcast(
+        build_token_index(build_name_dim(entries)).select(
+            "__token",
+            _DIM_PREFIX + "entry_id",
+            _DIM_PREFIX + "source",
+            _DIM_PREFIX + "name",
+            _DIM_PREFIX + "name_tokens",
+        )
+    )
+    prepared = images.select(
+        F.col(id_col).alias("__pid"),
+        clean_name_tokens(F.col(caption_col)).alias("__ptokens"),
+    ).filter(F.size("__ptokens") > 0)
+
+    exploded = prepared.select(
+        "__pid", "__ptokens", F.explode("__ptokens").alias("__token")
+    )
+    joined = exploded.join(token_index, "__token")
+
+    ntokens = _e("name_tokens")
+    n_hits = F.size(
+        F.filter(F.col("__ptokens"), lambda t: F.array_contains(ntokens, t))
+    )
+    min_size = F.least(F.size("__ptokens"), F.size(ntokens))
+    name_ok = (n_hits > 1) | ((n_hits == 1) & (min_size == 1))
+
+    best = (
+        joined.filter(name_ok)
+        .groupBy("__pid")
+        .agg(
+            F.min(
+                F.struct(
+                    _e("source").alias("list"),
+                    _e("name").alias("name"),
+                    _e("entry_id").alias("entry_id"),
+                )
+            ).alias("__best")
+        )
+    )
+    return best.select(
+        F.col("__pid").alias(id_col),
+        F.col("__best.list").alias("list"),
+        F.col("__best.name").alias("matched_name"),
+    )

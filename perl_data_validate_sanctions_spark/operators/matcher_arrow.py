@@ -1,0 +1,121 @@
+"""Arrow-batched variant of the caption matcher (the BASELINE.json
+north_star's "fuzzy token-match tiers re-expressed as vectorized pandas
+UDF predicates").
+
+Shape: ``mapInPandas`` over the images table with the (small) name
+dimension shipped to every Python worker as a Spark broadcast variable —
+the distributed equivalent of the reference holding its whole dataset
+in process memory (Sanctions.pm:321-352). Zero shuffles: one narrow map
+stage; each Arrow batch is screened against a worker-local inverted
+token index (the same candidate-pruning structure as Sanctions.pm:
+346-348).
+
+Trade-off vs the native Catalyst path (operators/matcher.py): no
+shuffle at all (vs a ~2%-of-rows shuffle), but pays the Arrow hop.
+Semantically identical — tests assert both paths agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .matcher import build_name_dim
+
+# [^\w\s] strips punctuation, [\d_] strips digits/underscore: together
+# they leave exactly Unicode letters + whitespace (Java \p{L} twin)
+_CLEAN_RE = re.compile(r"[^\w\s]|[\d_]", re.UNICODE)
+
+
+def _clean_tokens_py(name: str) -> list[str]:
+    """Python twin of functions.normalize.clean_name_tokens (must agree:
+    strip non-letter/non-space, uppercase, split on whitespace).
+
+    ``\\w`` minus digits/underscore == Unicode letters, mirroring Java's
+    ``\\p{L}``.
+    """
+    cleaned = _CLEAN_RE.sub("", name or "").upper()
+    return cleaned.split()
+
+
+class _MatcherIndex:
+    """Worker-local inverted index: token -> [(candidate id)], plus
+    per-candidate token frozensets and metadata."""
+
+    __slots__ = ("token_to_cands", "cand_tokens", "cand_meta")
+
+    def __init__(self, rows: list[dict[str, Any]]):
+        self.token_to_cands: dict[str, list[int]] = {}
+        self.cand_tokens: list[frozenset[str]] = []
+        self.cand_meta: list[tuple[str, str, int]] = []  # (source, name, entry_id)
+        for r in rows:
+            idx = len(self.cand_tokens)
+            toks = frozenset(r["name_tokens"])
+            self.cand_tokens.append(toks)
+            self.cand_meta.append((r["source"], r["name"], r["entry_id"]))
+            for t in toks:
+                self.token_to_cands.setdefault(t, []).append(idx)
+
+    def match_caption_tokens(self, ptokens: list[str]):
+        """J1 candidate union + J2 rule; returns best (source, name) by
+        (source, name, entry_id) or None — same deterministic choice as
+        the native path's min(struct(...)) with tier fixed at 1."""
+        if not ptokens:
+            return None
+        cands: set[int] = set()
+        for t in set(ptokens):
+            cands.update(self.token_to_cands.get(t, ()))
+        if not cands:
+            return None
+        n_prob = len(ptokens)
+        best = None
+        for ci in cands:
+            ctoks = self.cand_tokens[ci]
+            hits = sum(1 for t in ptokens if t in ctoks)  # probe multiplicity
+            if hits > 1 or (hits == 1 and min(n_prob, len(ctoks)) == 1):
+                meta = self.cand_meta[ci]
+                if best is None or meta < best:
+                    best = meta
+        return best
+
+
+def match_captions_arrow(
+    images: DataFrame,
+    entries: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Same contract as matcher.match_captions, zero-shuffle Arrow path."""
+    spark = images.sparkSession
+    dim_rows = [
+        r.asDict()
+        for r in build_name_dim(entries)
+        .select("entry_id", "source", "name", "name_tokens")
+        .collect()
+    ]
+    bc = spark.sparkContext.broadcast(dim_rows)
+
+    out_schema = f"{id_col} string, list string, matched_name string"
+
+    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = _MatcherIndex(bc.value)
+        for pdf in batches:
+            ids, lists, names = [], [], []
+            caps = pdf[caption_col]
+            for rid, cap in zip(pdf[id_col].tolist(), caps.tolist()):
+                if not cap:
+                    continue
+                hit = index.match_caption_tokens(_clean_tokens_py(cap))
+                if hit is not None:
+                    ids.append(rid)
+                    lists.append(hit[0])
+                    names.append(hit[1])
+            yield pd.DataFrame({id_col: ids, "list": lists, "matched_name": names})
+
+    return images.select(id_col, caption_col).mapInPandas(screen, out_schema)
