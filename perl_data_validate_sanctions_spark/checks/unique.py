@@ -1,0 +1,66 @@
+"""Uniqueness check with explicit skew defusal (BASELINE.json north_rule:
+"uniqueness on image_id and phash via salted repartition + groupBy to
+defuse skew").
+
+Two-phase salted aggregation:
+
+  phase 1: groupBy(key, salt) partial counts — a planted hot key
+           (billions of identical phash values at 10^12 rows) is spread
+           over ``n_salts`` reducers instead of melting one;
+  phase 2: groupBy(key) sum of partials — input is ≤ n_salts rows/key.
+
+The salt is ``pmod(xxhash64(<whole row identity>), n_salts)`` so rows of
+the same key land on different reducers deterministically. Violation
+rows are recovered with a broadcast semi-join of the (small) duplicate
+key set back against the table — the 10^12-row side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import VIOLATION_SCHEMA
+
+
+def duplicate_keys(df: DataFrame, key_col: str, n_salts: int = 64) -> DataFrame:
+    """Keys appearing more than once: (key, n_occurrences)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.select(F.col(key_col).alias("key"), salt.alias("__salt"))
+        .groupBy("key", "__salt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        partial.groupBy("key")
+        .agg(F.sum("__c").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "image_id",
+    partition_expr=None,
+    n_salts: int = 64,
+) -> DataFrame:
+    """VIOLATION_SCHEMA rows for every row carrying a duplicated key."""
+    dups = duplicate_keys(df, key_col, n_salts=n_salts)
+    part = (
+        partition_expr
+        if partition_expr is not None
+        else F.lit(None).cast("int")
+    )
+    hits = df.join(
+        F.broadcast(dups), df[key_col] == dups["key"], "left_semi"
+    )
+    return hits.select(
+        F.lit(f"unique_{key_col}").alias("check"),
+        part.cast("int").alias("partition_id"),
+        F.col(id_col).cast("string").alias("image_id"),
+        F.lit(key_col).alias("column"),
+        F.concat(F.lit("duplicate key: "), F.col(key_col).cast("string")).alias(
+            "detail"
+        ),
+    ).to(VIOLATION_SCHEMA)

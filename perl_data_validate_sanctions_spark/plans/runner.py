@@ -1,0 +1,167 @@
+"""The check registry + validation runner.
+
+Generalizes the reference's top-level flow (`update_data` →
+per-source fetch/parse/verify with per-source error isolation and
+pass/fail bookkeeping, /root/reference/lib/Data/Validate/Sanctions.pm:
+52-90 and Fetcher.pm:814-863) to: run every registered constraint check
+over the images table, union their violation rows, and roll them up
+into per-partition pass/fail verdicts (the per-source {updated,
+verified, error} analog at partition granularity).
+
+Partition granularity is the *logical* partition
+``pmod(xxhash64(image_id), N_LOGICAL_PARTS)`` — stable under any
+physical layout or cluster size (verdicts must not change when the
+executor count does). On a real Iceberg deployment this maps to the
+table's partition spec."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..checks.drift import drift_check, drift_violations
+from ..checks.integrity import integrity_violations
+from ..checks.referential import referential_violations
+from ..checks.schema_check import schema_violations
+from ..checks.stats import column_stats
+from ..checks.unique import uniqueness_violations
+from ..operators.matcher import match_captions
+from ..operators.matcher_arrow import match_captions_arrow
+from ..schema import VIOLATION_SCHEMA
+from ..sources.synth import expected_caption, logical_partition
+
+DEFAULT_CHECKS = (
+    "schema",
+    "unique_image_id",
+    "unique_phash",
+    "referential",
+    "drift_w",
+    "drift_h",
+    "drift_fmt",
+    "integrity",
+    "sanctioned",
+)
+
+# captions look like "... in <Place>"; the trailing token is the
+# caption-side foreign key checked against the places dimension
+CAPTION_KEY_RE = r" in (\p{L}+)$"
+
+
+def caption_key_expr() -> Column:
+    k = F.regexp_extract(F.col("caption"), CAPTION_KEY_RE, 1)
+    return F.when(k != "", k)
+
+
+@dataclass
+class ValidationReport:
+    violations: DataFrame
+    partition_verdicts: DataFrame
+    check_summary: DataFrame
+    stats: DataFrame | None = None
+    drift_results: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def run_validation(
+    images: DataFrame,
+    entries: DataFrame | None = None,
+    ref_keys: DataFrame | None = None,
+    checks: tuple[str, ...] = DEFAULT_CHECKS,
+    partition_expr: Column | None = None,
+    match_strategy: str = "native",
+    expected_caption_expr: Column | None = None,
+    with_stats: bool = True,
+) -> ValidationReport:
+    part = partition_expr if partition_expr is not None else logical_partition("image_id")
+    exp_cap = (
+        expected_caption_expr
+        if expected_caption_expr is not None
+        else expected_caption("image_id")
+    )
+    spark = images.sparkSession
+
+    pieces: list[DataFrame] = []
+    drift_results: dict[str, DataFrame] = {}
+
+    if "schema" in checks:
+        pieces.append(schema_violations(images, part))
+    if "unique_image_id" in checks:
+        pieces.append(
+            uniqueness_violations(images, "image_id", partition_expr=part)
+        )
+    if "unique_phash" in checks:
+        pieces.append(uniqueness_violations(images, "phash", partition_expr=part))
+    if "referential" in checks and ref_keys is not None:
+        pieces.append(
+            referential_violations(
+                images, caption_key_expr(), ref_keys, partition_expr=part
+            )
+        )
+    for col, kind in (("w", "ks"), ("h", "ks"), ("fmt", "chi2")):
+        name = f"drift_{col}"
+        if name in checks:
+            res = drift_check(images, col, part, kind=kind)
+            drift_results[col] = res
+            pieces.append(drift_violations(res))
+    if "integrity" in checks:
+        pieces.append(integrity_violations(images, part, exp_cap))
+    if "sanctioned" in checks and entries is not None:
+        matcher = (
+            match_captions_arrow if match_strategy == "arrow" else match_captions
+        )
+        matches = matcher(images, entries)
+        # a sanctioned caption is a violation row (the reference's
+        # {matched: 1} verdict, re-framed as a constraint failure)
+        pieces.append(
+            matches.join(images.select("image_id", "caption"), "image_id")
+            .select(
+                F.lit("sanctioned").alias("check"),
+                part.cast("int").alias("partition_id"),
+                F.col("image_id").cast("string"),
+                F.lit("caption").alias("column"),
+                F.concat(
+                    F.lit("matched "), F.col("matched_name"),
+                    F.lit(" on "), F.col("list"),
+                ).alias("detail"),
+            )
+            .to(VIOLATION_SCHEMA)
+        )
+
+    if pieces:
+        violations = pieces[0]
+        for p in pieces[1:]:
+            violations = violations.unionByName(p)
+    else:
+        violations = spark.createDataFrame([], VIOLATION_SCHEMA)
+    violations = violations.cache()
+
+    rows_per_part = images.groupBy(part.cast("int").alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    fails_per_part = violations.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_violations"),
+        F.count_distinct(
+            F.when(F.col("image_id").isNotNull(), F.col("image_id"))
+        ).alias("n_fail_rows"),
+    )
+    partition_verdicts = (
+        rows_per_part.join(fails_per_part, "partition_id", "left")
+        .fillna(0, ["n_violations", "n_fail_rows"])
+        .withColumn("n_pass_rows", F.col("n_rows") - F.col("n_fail_rows"))
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("partition_id")
+    )
+    check_summary = (
+        violations.groupBy("check")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("check")
+    )
+    stats = column_stats(images) if with_stats else None
+    return ValidationReport(
+        violations=violations,
+        partition_verdicts=partition_verdicts,
+        check_summary=check_summary,
+        stats=stats,
+        drift_results=drift_results,
+    )

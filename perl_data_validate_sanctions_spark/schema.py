@@ -126,7 +126,7 @@ LINEAGE_SCHEMA = T.StructType(
 # --- violation row emitted by every check ---
 VIOLATION_SCHEMA = T.StructType(
     [
-        T.StructField("check", T.StringType(), False),
+        T.StructField("check", T.StringType(), True),
         T.StructField("partition_id", T.IntegerType(), True),
         T.StructField("image_id", T.StringType(), True),
         T.StructField("column", T.StringType(), True),

@@ -1,0 +1,160 @@
+"""Checks layer: stats, uniqueness (salted), referential, drift, integrity,
+schema, plus the statistics math."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from perl_data_validate_sanctions_spark.checks import (
+    column_stats,
+    drift_check,
+    duplicate_keys,
+    integrity_violations,
+    referential_violations,
+    schema_violations,
+    uniqueness_violations,
+)
+from perl_data_validate_sanctions_spark.checks._stat_math import (
+    chi2_sf,
+    gammainc_q,
+    ks_pvalue,
+)
+from perl_data_validate_sanctions_spark.sources import codec
+from perl_data_validate_sanctions_spark.sources.synth import (
+    DRIFT_PARTS,
+    HOT_PHASH,
+    PLACES,
+    expected_caption,
+    logical_partition,
+    synth_images,
+)
+
+N = 20_000
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = synth_images(spark, N, num_partitions=8).cache()
+    df.count()
+    return df
+
+
+def test_stat_math_reference_values():
+    # chi2 sf pinned against published table values
+    assert chi2_sf(3.841, 1) == pytest.approx(0.05, abs=2e-4)
+    assert chi2_sf(5.991, 2) == pytest.approx(0.05, abs=2e-4)
+    assert chi2_sf(0.0, 3) == 1.0
+    assert gammainc_q(1.0, 0.0) == 1.0
+    # Kolmogorov: Q(1.36) ≈ 0.049 (classic alpha=.05 critical value)
+    assert ks_pvalue(1.358) == pytest.approx(0.05, abs=2e-3)
+    assert ks_pvalue(0.0) == 1.0
+
+
+def test_codec_roundtrip_and_psnr():
+    iid = "img-000000000042"
+    ref = codec.decode_reference(iid, 64, 48)
+    assert ref.shape == (48, 64)
+    seed = codec.ref_seed_py(iid)
+    clean = f"PDVS1|png|64|48|{seed}|0".encode()
+    lossy = f"PDVS1|jpeg|64|48|{seed}|1".encode()
+    corrupt = f"PDVS1|png|64|48|{seed + 7777777}|0".encode()
+    _, _, _, px = codec.decode(clean)
+    assert codec.psnr(px, ref) == float("inf")
+    _, _, _, px = codec.decode(lossy)
+    assert 40.0 <= codec.psnr(px, ref) < 60.0
+    _, _, _, px = codec.decode(corrupt)
+    assert codec.psnr(px, ref) < 15.0
+    with pytest.raises(ValueError):
+        codec.decode(b"JUNKJUNKJUNK")
+
+
+def test_column_stats(spark, images):
+    stats = {r["column"]: r for r in column_stats(images).collect()}
+    assert set(stats) == {"image_id", "w", "h", "fmt", "caption", "phash"}
+    cap = stats["caption"]
+    assert cap["n_rows"] == N
+    assert 0.005 < cap["null_fraction"] < 0.02  # ~1% planted nulls
+    assert stats["image_id"]["n_nulls"] == 0
+    w = stats["w"]
+    assert int(w["min"]) >= 320 and int(w["max"]) <= 1024
+    # HLL estimate of fmt distinct ≈ 3
+    assert 2 <= stats["fmt"]["n_distinct"] <= 4
+
+
+def test_uniqueness_image_id(spark, images):
+    dups = duplicate_keys(images, "image_id").collect()
+    # every dup_mod-th row duplicates its predecessor → N/1000 dup keys
+    assert len(dups) == N // 1000
+    assert all(r["n_occurrences"] == 2 for r in dups)
+    v = uniqueness_violations(
+        images, "image_id", partition_expr=logical_partition("image_id")
+    )
+    assert v.count() == 2 * (N // 1000)
+
+
+def test_uniqueness_phash_hot_key(spark, images):
+    dups = {r["key"]: r["n_occurrences"] for r in
+            duplicate_keys(images, "phash").collect()}
+    assert HOT_PHASH in dups
+    assert dups[HOT_PHASH] > 50  # ~0.5% of N land on the hot key
+
+
+def test_referential(spark, images):
+    dim = spark.createDataFrame([(p,) for p in PLACES], "key string")
+    v = referential_violations(
+        images,
+        F.when(F.regexp_extract("caption", r" in (\p{L}+)$", 1) != "",
+               F.regexp_extract("caption", r" in (\p{L}+)$", 1)),
+        dim,
+        partition_expr=logical_partition("image_id"),
+    )
+    rows = v.collect()
+    # only corrupted captions break the ' in <Place>' tail ⇒ tiny count,
+    # and every flagged key is indeed outside the dimension
+    assert all(r["check"] == "referential" for r in rows)
+    for r in rows:
+        assert r["detail"].startswith("dangling key: ")
+        assert r["detail"].removeprefix("dangling key: ") not in PLACES
+
+
+def test_drift_ks_and_chi2(spark, images):
+    part = logical_partition("image_id")
+    ks = drift_check(images, "w", part, kind="ks").collect()
+    drifted = {r["partition_id"] for r in ks if r["drifted"]}
+    assert drifted == set(DRIFT_PARTS), f"KS drift parts: {drifted}"
+    chi = drift_check(images, "fmt", part, kind="chi2").collect()
+    drifted_c = {r["partition_id"] for r in chi if r["drifted"]}
+    assert drifted_c == set(DRIFT_PARTS), f"chi2 drift parts: {drifted_c}"
+    # sane p-values on non-drifted partitions
+    for r in ks:
+        if r["partition_id"] not in DRIFT_PARTS:
+            assert r["p_value"] > 1e-6
+
+
+def test_integrity(spark, images):
+    v = integrity_violations(
+        images, logical_partition("image_id"), expected_caption("image_id")
+    ).collect()
+    psnr_bad = [r for r in v if "psnr" in r["detail"]]
+    cap_bad = [r for r in v if "caption mismatch" in r["detail"]]
+    # ~0.1% corrupted payloads, ~0.15% corrupted captions planted
+    assert 0.0002 * N < len(psnr_bad) < 0.004 * N
+    assert 0.0003 * N < len(cap_bad) < 0.005 * N
+    # PSNR failures are real: recheck one in pure python
+    row = images.filter(F.col("image_id") == psnr_bad[0]["image_id"]).first()
+    _, _, _, px = codec.decode(row["bytes"])
+    ref = codec.decode_reference(row["image_id"], row["w"], row["h"])
+    assert codec.psnr(px, ref) < 40.0
+
+
+def test_schema_violations_clean_and_dirty(spark, images):
+    assert schema_violations(images).count() == 0
+    dirty = images.limit(10).withColumn(
+        "fmt", F.lit("bmp")
+    ).unionByName(images.limit(5).withColumn("w", F.lit(-1).cast("int")))
+    v = schema_violations(dirty).collect()
+    assert sum(1 for r in v if r["column"] == "fmt") == 10
+    assert sum(1 for r in v if r["column"] == "w") == 5
+    assert len(v) == 15
