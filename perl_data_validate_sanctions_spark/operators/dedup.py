@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale shapes:
+- exact: hash-groupBy with map-side partial agg; the duplicate-key set
+  is small → broadcast semi-join recovers member rows without
+  shuffling the fact table.
+- n-gram Jaccard: shingle → explode → equi-join on shingle (candidate
+  generation) → exact verify. At scale the candidate join is the
+  bottleneck → MinHash LSH replaces it: band buckets bound candidate
+  fan-out, and only bucket-mates join.
+- SimHash: 64-bit signature natively via aggregate/transform (no UDF);
+  near-dups = small hamming distance, bucketed by signature prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, words
+
+
+# --- exact -----------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, n_docs, keeper_id): normalized-text dup groups;
+    keeper = min id (deterministic survivor)."""
+    fp = fingerprint_md5(text_col).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row per normalized text (the min-id row)."""
+    fp = fingerprint_md5(text_col).alias("__fp")
+    ranked = df.select("*", fp).groupBy("__fp").agg(
+        F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__keep")
+    )
+    return ranked.select("__keep.*")
+
+
+# --- shingles + Jaccard ------------------------------------------------------
+
+def word_shingles(col: Column | str, w: int = 3) -> Column:
+    """Distinct w-token shingles of a document."""
+    toks = words(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold.
+
+    Candidate generation: explode shingles, self-equi-join on shingle
+    (each shared shingle proposes the pair once — dedup via groupBy),
+    then exact verify. Correct but O(candidate pairs); use
+    :func:`minhash_lsh_pairs` at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, w).alias("sh")
+    )
+    exploded = sh.select("id", F.explode("sh").alias("s"))
+    cands = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+                   "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+              "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signature(col: Column | str, k: int = 64) -> Column:
+    """k-permutation MinHash signature of the shingle set: element i is
+    min over shingles of xxhash64(i, shingle) — k independent hash
+    families from the seed parameter, all JVM-side."""
+    sh = col if isinstance(col, Column) else F.col(col)
+
+    def family(i: int) -> Column:
+        # NB: the transform lambda must be single-argument — a second
+        # parameter would be bound to the ELEMENT INDEX by Spark,
+        # not to the captured hash-family seed
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+
+    return F.array(*[family(i) for i in range(k)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs, exact-Jaccard verified.
+
+    bands=16 × rows=4 over k=64 → collision prob ≈ 1-(1-s^4)^16
+    (s = true Jaccard): ~0.97 at s=0.7, ~0.04 at s=0.2. Candidates come
+    only from shared band buckets, so the all-pairs explosion of
+    :func:`ngram_jaccard_pairs` never happens; hot buckets are bounded
+    by banding (r rows per band) rather than by data skew.
+    """
+    rows_per_band = k // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, w).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bucket")
+
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of the token multiset, fully native: per-token
+    xxhash64, per-bit ±1 votes accumulated with aggregate/zip_with,
+    sign → bit. No Python anywhere.
+
+    Bit extraction uses ``lpad(bin(hash))`` + ``substr`` because Spark's
+    shift functions require a literal shift count — ``bin`` renders the
+    64-bit two's-complement pattern once per token and ``substr``
+    accepts Column positions."""
+    toks = words(col)
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    def tok_votes(t: Column) -> Column:
+        bits = F.lpad(F.bin(F.xxhash64(t)), 64, "0")
+        # seq position j (1-based) votes for bit j-1 (LSB first)
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: F.when(
+                F.substr(bits, F.lit(65) - j, F.lit(1)) == "1", F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    votes = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, t: F.zip_with(acc, tok_votes(t), lambda a, v: a + v),
+    )
+    terms = []
+    for j in range(64):
+        weight = (1 << j) if j < 63 else -(1 << 63)  # sign bit
+        terms.append(
+            F.when(F.element_at(votes, j + 1) > 0, F.lit(weight).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (popcount via
+    bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the signature's top
+    ``prefix_bits`` (cheap blocking), verify hamming ≤ max_hamming.
+    (A production sweep rotates the prefix over 4 bit-ranges to make
+    blocking exhaustive; one range keeps the demo query compact.)"""
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("sig")
+    ).withColumn("bucket", F.shiftrightunsigned(F.col("sig"), 64 - prefix_bits))
+    pairs = (
+        sig.alias("a")
+        .join(sig.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: broadcast the query set, score every row
+  with native zip_with/aggregate (JVM), window top-k. Exact; O(N·Q·d)
+  but embarrassingly parallel and shuffle-free until the final top-k.
+- LSH-bucketed ANN: random-hyperplane signatures (hyperplanes derived
+  deterministically from hash bits — no RNG state to ship), candidates
+  from matching buckets only; same scoring tail. The scale path when
+  Q·N is too big to brute-force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    n = l2norm(a) * l2norm(b)
+    return F.when(n > 0, dot(a, b) / n).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, vec_id, cosine, rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        )
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(q)
+        .withColumn("cosine", cosine(F.col("v"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """sign(<v, r_plane>) with r_plane[j] = ±1 from xxhash64(plane, j) —
+    a deterministic Rademacher hyperplane, materialized as a literal
+    array (constant-folded; nothing shipped to executors)."""
+    import zlib
+
+    signs = [
+        1.0 if zlib.crc32(f"{plane}:{j}".encode()) & 1 else -1.0
+        for j in range(dim)
+    ]
+    plane_arr = F.array(*[F.lit(s) for s in signs])
+    return (dot(vec, plane_arr) >= 0).cast("int")
+
+
+def lsh_signature(vec: Column, n_planes: int, dim: int) -> Column:
+    """n-bit random-hyperplane signature as one integer bucket id."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket * 2 + _hyperplane_sign(vec, p, dim)
+    return bucket
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket (2^n_planes buckets ⇒ ~N/2^n candidates per query). Recall
+    is tunable via n_planes / multi-probe; exactness is traded for a
+    2^n-fold candidate reduction."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+            lsh_signature(F.col(query_vec_col), n_planes, dim).alias("bucket"),
+        )
+    )
+    scored = e.join(q, "bucket").withColumn(
+        "cosine", cosine(F.col("v"), F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: bucket by hyperplane signature
+    (near-identical vectors share all sign bits with high probability),
+    verify cosine ≥ threshold within buckets."""
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    return (
+        e.alias("a")
+        .join(e.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "cosine",
+        )
+    )

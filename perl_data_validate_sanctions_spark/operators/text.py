@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+language-ID (stopword-ratio heuristic), quality scoring, fingerprinting.
+
+All pure Column expressions (JVM, codegen) — the 100 TB path never
+touches Python for these."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny public stopword lists (top function words per language)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+}
+
+
+def words(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BPE-ish subword estimate = chars/4 is
+    exposed separately as ``subword_estimate``)."""
+    return F.size(words(col))
+
+
+def subword_estimate(col: Column | str) -> Column:
+    """~4 chars/token heuristic used for LLM budget estimates."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.ceil(F.length(c) / F.lit(4.0)).cast("long")
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    toks = words(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax of per-language stopword ratios; 'und' when all zero."""
+    pairs = [(lang, stopword_ratio(col, lang)) for lang in STOPWORDS]
+    best_score = F.greatest(*[s for _, s in pairs])
+    out = F.lit("und")
+    # deterministic tie-break: first language (dict order) wins
+    for lang, score in reversed(pairs):
+        out = F.when((best_score > 0) & (score == best_score), F.lit(lang)).otherwise(
+            out
+        )
+    return out
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band, alpha ratio,
+    mean word length band, repetition penalty."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = words(c)
+    n = F.size(toks)
+    length_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.3))
+    alpha_chars = F.length(F.regexp_replace(c, r"[^\p{L}]", ""))
+    alpha_ratio = F.when(F.length(c) > 0, alpha_chars / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+    mean_wlen = F.when(n > 0, F.length(F.concat_ws("", toks)) / n).otherwise(
+        F.lit(0.0)
+    )
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.4)
+    )
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        F.lit(0.25) * length_ok
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * wlen_ok
+        + F.lit(0.25) * distinct_ratio
+    )
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text (lowercase, collapsed
+    whitespace) — md5 so a DuckDB oracle reproduces it bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def rolling_fingerprints(col: Column | str, w: int = 5, keep: int = 8) -> Column:
+    """Winnowing-style document fingerprint: hash every w-token shingle,
+    keep the ``keep`` smallest hashes (a deterministic sketch of the
+    document; containment of sketches approximates overlap)."""
+    toks = words(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)

@@ -1,0 +1,164 @@
+"""Training-data pipeline operators: dedup (exact/jaccard/minhash/simhash),
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from perl_data_validate_sanctions_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from perl_data_validate_sanctions_spark.operators.multimodal import (
+    extract_image_features,
+    resize_images,
+    sample_frames,
+)
+from perl_data_validate_sanctions_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+from perl_data_validate_sanctions_spark.operators.text import (
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    rolling_fingerprints,
+    token_count,
+)
+from perl_data_validate_sanctions_spark.sources.synth import synth_images
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog in the field"),
+    (1, "the quick brown fox jumps over the lazy dog in the field"),  # exact dup
+    (2, "The  Quick Brown fox jumps over the lazy dog in the field"),  # norm dup
+    (3, "the quick brown fox jumps over the lazy cat in the field"),  # near dup
+    (4, "completely different words about spark catalyst optimizer plans"),
+    (5, "der hund und die katze sind ein gutes team mit den anderen"),
+    (6, "le chat et le chien sont les amis de la maison pour tous"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3  # 0, 1, and whitespace/case-normalized 2
+    assert groups[0]["keeper_id"] == 0
+    kept = exact_dedup(docs)
+    assert kept.count() == 5
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {0, 3, 4, 5, 6}
+
+
+def test_jaccard_and_minhash_agree(spark, docs):
+    uniq = exact_dedup(docs)
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(uniq, threshold=0.5).collect()
+    }
+    assert (0, 3) in exact_pairs  # one-word-change near-dup
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(uniq, threshold=0.5).collect()
+    }
+    # LSH candidates ⊆ exact pairs after verification, and the strong
+    # near-dup must be recalled
+    assert lsh_pairs <= exact_pairs
+    assert (0, 3) in lsh_pairs
+
+
+def test_simhash(spark, docs):
+    sigs = {r["doc_id"]: r["s"] for r in
+            docs.select("doc_id", simhash64("text").alias("s")).collect()}
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    from perl_data_validate_sanctions_spark.operators.dedup import hamming64
+    d = docs.sparkSession.createDataFrame(
+        [(sigs[0], sigs[3]), (sigs[0], sigs[4])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    assert d[0]["h"] < d[1]["h"]  # near-dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"])
+             for r in simhash_near_dup_pairs(docs, max_hamming=16).collect()}
+    assert (0, 1) in pairs
+
+
+def test_text_analysis(spark, docs):
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            lang_id("text").alias("lang"),
+            quality_score("text").alias("q"),
+            fingerprint_md5("text").alias("fp"),
+            rolling_fingerprints("text").alias("rfp"),
+        ).collect()
+    }
+    assert rows[0]["tc"] == 12
+    assert rows[0]["lang"] == "en"
+    assert rows[5]["lang"] == "de"
+    assert rows[6]["lang"] == "fr"
+    assert 0.0 <= rows[0]["q"] <= 1.0
+    assert rows[0]["fp"] == rows[2]["fp"]  # normalized fingerprint
+    assert rows[0]["rfp"] == rows[1]["rfp"]
+    # winnowing sketches of near-dups share most hashes
+    shared = set(rows[0]["rfp"]) & set(rows[3]["rfp"])
+    assert len(shared) >= 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    vecs = rng.normal(size=(60, 16)).astype("float32")
+    vecs[7] = vecs[3] + 0.001 * rng.normal(size=16).astype("float32")  # near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk_and_lsh(spark, emb):
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    got = exact.collect()
+    assert len(got) == 15
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        top = sorted(rs, key=lambda r: r["rank"])[0]
+        assert top["vec_id"] == q and top["cosine"] == pytest.approx(1.0, abs=1e-5)
+
+    ann = lsh_ann_topk(emb, queries, k=5, n_planes=4, dim=16).collect()
+    # self-match always survives LSH (identical vector → identical bucket)
+    self_hits = {r["query_id"] for r in ann if r["vec_id"] == r["query_id"]}
+    assert self_hits == {0, 1, 2}
+
+
+def test_embedding_near_dups(spark, emb):
+    pairs = embedding_near_dup_pairs(emb, threshold=0.999, n_planes=6, dim=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (3, 7) in got
+
+
+def test_multimodal_plumbing(spark):
+    images = synth_images(spark, 300, num_partitions=2)
+    feats = extract_image_features(images)
+    rows = feats.collect()
+    assert len(rows) == 300  # all payloads decodable
+    r0 = rows[0]
+    assert 100 < r0["mean_luma"] < 155 and r0["std_luma"] > 0
+    thumbs = resize_images(images.limit(20), 32, 16).collect()
+    assert all(len(t["thumb"]) == 32 * 16 for t in thumbs)
+    frames = sample_frames(images.limit(10), every_n=4, n_frames=16).collect()
+    assert len(frames) == 10 * 4  # 16 bands sampled every 4
