@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract: ONE JSON line on stdout).
+
+Headline metric: validated images/sec — the full constraint suite
+(schema, salted uniqueness ×2, referential, KS/chi-square drift ×3,
+PSNR+caption integrity, sanctions match) over a synthetic image+caption
+table scaled to the SF dir (same row count as lineitem), generated
+deterministically and persisted once under .bench_cache so scans
+exercise parquet pushdown/pruning like a real table.
+
+Also times the individual testdata queries from __spark_entry__.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), PDVS_BENCH_ROWS (row override).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_images(spark, n_rows: int, cache_dir: str):
+    from perl_data_validate_sanctions_spark.sources.synth import synth_images
+
+    path = f"{cache_dir}/images_{n_rows}.parquet"
+    if not os.path.isdir(path):
+        synth_images(spark, n_rows, num_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_suite(spark, images, entries, ref_keys, checks=None):
+    """One full validation pass; returns wall seconds (all actions)."""
+    from perl_data_validate_sanctions_spark.plans.runner import run_validation
+
+    t0 = time.time()
+    kw = {} if checks is None else {"checks": checks}
+    report = run_validation(images, entries=entries, ref_keys=ref_keys, **kw)
+    report.partition_verdicts.collect()
+    report.check_summary.collect()
+    if report.stats is not None:
+        report.stats.collect()
+    report.violations.unpersist()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from perl_data_validate_sanctions_spark.session import get_spark
+    from perl_data_validate_sanctions_spark.sources.synth import (
+        PLACES,
+        synth_entries,
+    )
+
+    spark = get_spark(app_name="pdvs-bench", cores=cpus)
+
+    import duckdb
+
+    n_rows = int(
+        os.environ.get("PDVS_BENCH_ROWS")
+        or duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchone()[0]
+    )
+    cache_dir = os.environ.get(
+        "PDVS_BENCH_CACHE", "/root/repo/.bench_cache"
+    )
+    images = build_images(spark, n_rows, cache_dir)
+    entries = synth_entries(spark, n_extra=200)
+    ref_keys = spark.createDataFrame([(p,) for p in PLACES], "key string")
+
+    timings: dict[str, float] = {}
+
+    # warm-up (JIT/codegen) on a small slice, not timed
+    run_suite(spark, images.limit(5000), entries, ref_keys)
+
+    t_full = run_suite(spark, images, entries, ref_keys)
+    timings["validate_full_suite"] = round(t_full, 3)
+
+    native_checks = (
+        "schema", "unique_image_id", "unique_phash", "referential",
+        "sanctioned",
+    )
+    timings["validate_native_only"] = round(
+        run_suite(spark, images, entries, ref_keys, checks=native_checks), 3
+    )
+    arrow_checks = ("drift_w", "drift_h", "drift_fmt", "integrity")
+    timings["validate_arrow_checks"] = round(
+        run_suite(spark, images, entries, ref_keys, checks=arrow_checks), 3
+    )
+
+    from perl_data_validate_sanctions_spark.operators.matcher import (
+        match_captions,
+    )
+    from perl_data_validate_sanctions_spark.operators.matcher_arrow import (
+        match_captions_arrow,
+    )
+
+    t0 = time.time()
+    match_captions(images, entries).count()
+    timings["match_captions_native"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    match_captions_arrow(images, entries).count()
+    timings["match_captions_arrow"] = round(time.time() - t0, 3)
+
+    # key testdata queries
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name in (
+        "match_documents", "pricing_summary", "stats_documents",
+        "window_topk", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+        "ann_topk", "drift_chi2_events",
+    ):
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "full_validation_suite_wall_time",
+        "value": round(t_full, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "images_rows": n_rows,
+        "images_per_sec": round(n_rows / t_full, 1),
+        "cores": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""spark-submit entry point (the reference's CLI analog,
+/root/reference/bin/update_sanctions_csv).
+
+    spark-submit --py-files pdvs.zip -m perl_data_validate_sanctions_spark.cli \\
+        validate --input /path/images.parquet --checkpoint /path/ckpt \\
+                 --run-id nightly-42
+    python -m perl_data_validate_sanctions_spark.cli synth --rows 100000 --out ...
+    python -m perl_data_validate_sanctions_spark.cli validate --synth-rows 50000
+
+Subcommands: ``synth`` (generate the image+caption table), ``validate``
+(full check suite with checkpointed resume; rerunning the same
+--run-id skips completed partitions), ``export`` (dump violations).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pdvs-spark")
+    p.add_argument("--cores", default=None, help="local[N] cores (default env)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_synth = sub.add_parser("synth", help="generate the synthetic images table")
+    p_synth.add_argument("--rows", type=int, required=True)
+    p_synth.add_argument("--out", required=True)
+    p_synth.add_argument("--partitions", type=int, default=None)
+
+    p_val = sub.add_parser("validate", help="run the full validation suite")
+    p_val.add_argument("--input", help="parquet path of the images table")
+    p_val.add_argument("--synth-rows", type=int, help="or generate N rows")
+    p_val.add_argument("--checkpoint", help="checkpoint dir (enables resume)")
+    p_val.add_argument("--run-id", default=None)
+    p_val.add_argument("--violations-out", help="write violation rows here")
+    p_val.add_argument(
+        "--match-strategy", choices=("native", "arrow"), default="native"
+    )
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"pdvs-{args.cmd}", cores=args.cores)
+
+    if args.cmd == "synth":
+        from .sources.synth import synth_images
+
+        synth_images(spark, args.rows, num_partitions=args.partitions).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(json.dumps({"written": args.out, "rows": args.rows}))
+        return 0
+
+    if args.cmd == "validate":
+        from .sources.synth import PLACES, synth_entries, synth_images
+
+        if args.input:
+            images = spark.read.parquet(args.input)
+        elif args.synth_rows:
+            images = synth_images(spark, args.synth_rows)
+        else:
+            p.error("validate needs --input or --synth-rows")
+        entries = synth_entries(spark)
+        ref_keys = spark.createDataFrame([(x,) for x in PLACES], "key string")
+
+        if args.checkpoint:
+            from .streaming.checkpoint import CheckpointStore, run_with_resume
+
+            store = CheckpointStore(args.checkpoint)
+            run_id, lineage, report = run_with_resume(
+                images,
+                store,
+                run_id=args.run_id,
+                entries=entries,
+                ref_keys=ref_keys,
+                match_strategy=args.match_strategy,
+            )
+            rows = lineage.orderBy("partition_id").collect()
+            out = {
+                "run_id": run_id,
+                "partitions": len(rows),
+                "recomputed": (
+                    report.partition_verdicts.count() if report else 0
+                ),
+                "n_rows": sum(r["n_rows"] for r in rows),
+                "n_fail": sum(r["n_fail"] for r in rows),
+            }
+        else:
+            from .plans.runner import run_validation
+
+            report = run_validation(
+                images,
+                entries=entries,
+                ref_keys=ref_keys,
+                match_strategy=args.match_strategy,
+            )
+            verd = report.partition_verdicts.collect()
+            summary = {
+                r["check"]: r["n_violations"]
+                for r in report.check_summary.collect()
+            }
+            out = {
+                "partitions": len(verd),
+                "n_rows": sum(r["n_rows"] for r in verd),
+                "n_pass_rows": sum(r["n_pass_rows"] for r in verd),
+                "failed_partitions": sorted(
+                    r["partition_id"] for r in verd if not r["passed"]
+                ),
+                "violations_by_check": summary,
+            }
+        if args.violations_out and report is not None:
+            report.violations.write.mode("overwrite").parquet(
+                args.violations_out
+            )
+            out["violations_out"] = args.violations_out
+        print(json.dumps(out))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

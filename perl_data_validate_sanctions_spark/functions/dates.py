@@ -35,7 +35,9 @@ from pyspark.sql import types as T
 
 _ISO_PREFIX = r"^(\d{4})-(\d{2})-(\d{2})"
 _DMY_FULL = r"^(\d{1,2})[/\-](\d{1,2})[/\-](\d{4})$"
-_INT_FULL = r"^-?\d+$"
+# ≤18 digits so the epoch-passthrough cast can never overflow a long
+# (overflow would throw under ANSI sessions)
+_INT_FULL = r"^-?\d{1,18}$"
 
 _SECONDS_PER_DAY = 86400
 
@@ -44,38 +46,91 @@ def _g(c: Column, pattern: str, i: int) -> Column:
     return F.regexp_extract(c, pattern, i)
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` once and
+    reference it many times WITHOUT duplicating its expression tree —
+    a higher-order-function lambda variable is a shared reference,
+    whereas plain Column composition re-inlines the whole subtree at
+    every use (exponential tree growth; the unbound version of
+    classify_dob took >100s to analyze/compile and overflowed Janino
+    under ANSI)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _is_leap(y: Column) -> Column:
+    return ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+
+
+def _valid_ymd(y: Column, m: Column, d: Column) -> Column:
+    """Calendar validity in pure arithmetic (no throwing functions — the
+    expression must behave identically under ANSI and non-ANSI
+    sessions; the driver's session config is not ours to choose)."""
+    days_in_month = (
+        F.when(m.isin(1, 3, 5, 7, 8, 10, 12), F.lit(31))
+        .when(m.isin(4, 6, 9, 11), F.lit(30))
+        .when(m == 2, F.when(_is_leap(y), F.lit(29)).otherwise(F.lit(28)))
+        .otherwise(F.lit(0))
+    )
+    return (m >= 1) & (m <= 12) & (d >= 1) & (d <= days_in_month)
+
+
+def _days_from_civil(y: Column, m: Column, d: Column) -> Column:
+    """Days since 1970-01-01 for a valid proleptic-Gregorian date —
+    Howard Hinnant's public ``days_from_civil`` algorithm, in integer
+    Column arithmetic (no make_date, so no ANSI throw path)."""
+    yy = (y - (m <= 2).cast("int")).cast("long")
+    era = F.floor(yy / 400.0).cast("long")
+    yoe = yy - era * 400
+    mp = F.when(m > 2, m - 3).otherwise(m + 9).cast("long")
+    doy = F.floor((F.lit(153) * mp + 2) / 5.0).cast("long") + d - 1
+    doe = (
+        yoe * 365
+        + F.floor(yoe / 4.0).cast("long")
+        - F.floor(yoe / 100.0).cast("long")
+        + doy
+    )
+    return era * 146097 + doe - 719468
+
+
+def _ymd_epoch(y: Column, m: Column, d: Column) -> Column:
+    """epoch-or-null of a y/m/d triple, let-bound so the component
+    expressions appear once each in the tree."""
+    return _let(
+        F.struct(y.alias("y"), m.alias("m"), d.alias("d")),
+        lambda s: F.when(
+            _valid_ymd(s["y"], s["m"], s["d"]),
+            _days_from_civil(s["y"], s["m"], s["d"]) * _SECONDS_PER_DAY,
+        ),
+    )
+
+
 def date_to_epoch(col: Column | str) -> Column:
-    """``_date_to_epoch``: string date → UTC-midnight epoch seconds, or NULL.
+    """``_date_to_epoch``: string date → UTC-midnight epoch seconds, or
+    NULL for anything unparseable/invalid (the reference wraps parsing
+    in ``eval`` and returns undef). Pure, non-throwing Column
+    expression — safe under both ANSI modes."""
+    raw = F.trim(F.col(col) if isinstance(col, str) else col)
 
-    Pure Column expression. Requires ``spark.sql.ansi.enabled=false`` so
-    ``make_date`` yields NULL on invalid components (the reference wraps
-    parsing in ``eval`` and returns undef).
-    """
-    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    def body(c: Column) -> Column:
+        iso_epoch = _ymd_epoch(
+            _g(c, _ISO_PREFIX, 1).cast("int"),
+            _g(c, _ISO_PREFIX, 2).cast("int"),
+            _g(c, _ISO_PREFIX, 3).cast("int"),
+        )
+        dmy_epoch = _ymd_epoch(
+            _g(c, _DMY_FULL, 3).cast("int"),
+            _g(c, _DMY_FULL, 2).cast("int"),
+            _g(c, _DMY_FULL, 1).cast("int"),
+        )
+        return (
+            F.when(c.isNull() | (c == ""), F.lit(None).cast("long"))
+            .when(c.rlike(_ISO_PREFIX), iso_epoch)
+            .when(c.rlike(_DMY_FULL), dmy_epoch)
+            .when(c.rlike(_INT_FULL), c.cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+        )
 
-    is_iso = c.rlike(_ISO_PREFIX)
-    is_dmy = c.rlike(_DMY_FULL)
-    is_int = c.rlike(_INT_FULL)
-
-    iso_date = F.make_date(
-        _g(c, _ISO_PREFIX, 1).cast("int"),
-        _g(c, _ISO_PREFIX, 2).cast("int"),
-        _g(c, _ISO_PREFIX, 3).cast("int"),
-    )
-    dmy_date = F.make_date(
-        _g(c, _DMY_FULL, 3).cast("int"),
-        _g(c, _DMY_FULL, 2).cast("int"),
-        _g(c, _DMY_FULL, 1).cast("int"),
-    )
-    date = F.when(is_iso, iso_date).when(is_dmy, dmy_date)
-    epoch_from_date = F.unix_date(date).cast("long") * _SECONDS_PER_DAY
-
-    return (
-        F.when(c.isNull() | (c == ""), F.lit(None).cast("long"))
-        .when(is_iso | is_dmy, epoch_from_date)
-        .when(is_int, c.cast("long"))
-        .otherwise(F.lit(None).cast("long"))
-    )
+    return _let(raw, body)
 
 
 def epoch_to_date(col: Column | str) -> Column:
@@ -112,70 +167,106 @@ DOB_STRUCT = T.StructType(
 def classify_dob(col: Column | str) -> Column:
     """One raw DOB string → struct(epoch, years, text) — exactly one of
     the three is non-null; all three null for blank input (skipped).
+
+    Every intermediate rewrite (dash normalization → zero-date rule →
+    Mon-YYYY rule) is let-bound, keeping the expression tree linear.
     """
-    raw = F.trim(F.col(col) if isinstance(col, str) else col)
-    dob = F.regexp_replace(raw, "[ /]", "-")
+    raw0 = F.trim(F.col(col) if isinstance(col, str) else col)
 
-    dmy = dob.rlike(_DMY_ZERO)
-    dmy_d = _g(dob, _DMY_ZERO, 1).cast("int")
-    dmy_m = _g(dob, _DMY_ZERO, 2).cast("int")
-    dmy_y = _g(dob, _DMY_ZERO, 3)
+    def final(raw: Column, dob3: Column) -> Column:
+        null_l = F.lit(None).cast("long")
+        null_a = F.lit(None).cast("array<int>")
+        null_s = F.lit(None).cast("string")
+        y1 = _g(dob3, _YEAR_RANGE, 1).cast("int")
+        y2 = _g(dob3, _YEAR_RANGE, 2).cast("int")
+        epoch = date_to_epoch(dob3)
 
-    ymd = dob.rlike(_YMD_ZERO)
-    ymd_y = _g(dob, _YMD_ZERO, 1)
-    ymd_m = _g(dob, _YMD_ZERO, 2).cast("int")
-    ymd_d = _g(dob, _YMD_ZERO, 3).cast("int")
+        return (
+            F.when(
+                raw.isNull() | (raw == ""),
+                F.struct(
+                    null_l.alias("epoch"),
+                    null_a.alias("years"),
+                    null_s.alias("text"),
+                ),
+            )
+            .when(
+                dob3.rlike(_YEAR_ONLY),
+                F.struct(
+                    null_l.alias("epoch"),
+                    F.array(dob3.cast("int")).alias("years"),
+                    null_s.alias("text"),
+                ),
+            )
+            .when(
+                dob3.rlike(_YEAR_RANGE),
+                F.struct(
+                    null_l.alias("epoch"),
+                    # Perl range ($1..$2) is empty when $1 > $2
+                    F.when(y1 <= y2, F.sequence(y1, y2))
+                    .otherwise(F.array().cast("array<int>"))
+                    .alias("years"),
+                    null_s.alias("text"),
+                ),
+            )
+            .when(
+                epoch.isNotNull(),
+                F.struct(
+                    epoch.alias("epoch"),
+                    null_a.alias("years"),
+                    null_s.alias("text"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    null_l.alias("epoch"),
+                    null_a.alias("years"),
+                    dob3.alias("text"),
+                )
+            )
+        )
 
-    # zero month/day → bare year (Fetcher.pm:211-216)
-    dob2 = (
-        F.when(dmy & ((dmy_d == 0) | (dmy_m == 0)), dmy_y)
-        .when(ymd & ((ymd_m == 0) | (ymd_d == 0)), ymd_y)
-        .otherwise(dob)
+    return _let(
+        raw0,
+        lambda raw: _let(
+            mon_rule_chain(raw),
+            lambda dob3: final(raw, dob3),
+        ),
     )
-    # Mon-YYYY → year (Fetcher.pm:217)
-    dob3 = F.when(dob2.rlike(_MON_YEAR), _g(dob2, _MON_YEAR, 1)).otherwise(dob2)
 
-    y1 = _g(dob3, _YEAR_RANGE, 1).cast("int")
-    y2 = _g(dob3, _YEAR_RANGE, 2).cast("int")
-    epoch = date_to_epoch(dob3)
 
-    null_l = F.lit(None).cast("long")
-    null_a = F.lit(None).cast("array<int>")
-    null_s = F.lit(None).cast("string")
+def mon_rule_chain(raw: Column) -> Column:
+    """dash-normalize → zero-date rule → Mon-YYYY rule, each let-bound."""
+    return _let(
+        F.regexp_replace(raw, "[ /]", "-"),
+        lambda dob1: _let(
+            _zero_rules_impl(dob1),
+            lambda dob2: F.when(
+                dob2.rlike(_MON_YEAR), _g(dob2, _MON_YEAR, 1)
+            ).otherwise(dob2),
+        ),
+    )
 
+
+def _zero_rules_impl(dob: Column) -> Column:
+    dmy = dob.rlike(_DMY_ZERO)
+    ymd = dob.rlike(_YMD_ZERO)
     return (
         F.when(
-            raw.isNull() | (raw == ""),
-            F.struct(
-                null_l.alias("epoch"), null_a.alias("years"), null_s.alias("text")
+            dmy
+            & (
+                (_g(dob, _DMY_ZERO, 1).cast("int") == 0)
+                | (_g(dob, _DMY_ZERO, 2).cast("int") == 0)
             ),
+            _g(dob, _DMY_ZERO, 3),
         )
         .when(
-            dob3.rlike(_YEAR_ONLY),
-            F.struct(
-                null_l.alias("epoch"),
-                F.array(dob3.cast("int")).alias("years"),
-                null_s.alias("text"),
+            ymd
+            & (
+                (_g(dob, _YMD_ZERO, 2).cast("int") == 0)
+                | (_g(dob, _YMD_ZERO, 3).cast("int") == 0)
             ),
+            _g(dob, _YMD_ZERO, 1),
         )
-        .when(
-            dob3.rlike(_YEAR_RANGE),
-            F.struct(
-                null_l.alias("epoch"),
-                # Perl range ($1..$2) is empty when $1 > $2
-                F.when(y1 <= y2, F.sequence(y1, y2))
-                .otherwise(F.array().cast("array<int>"))
-                .alias("years"),
-                null_s.alias("text"),
-            ),
-        )
-        .when(
-            epoch.isNotNull(),
-            F.struct(
-                epoch.alias("epoch"), null_a.alias("years"), null_s.alias("text")
-            ),
-        )
-        .otherwise(
-            F.struct(null_l.alias("epoch"), null_a.alias("years"), dob3.alias("text"))
-        )
+        .otherwise(dob)
     )

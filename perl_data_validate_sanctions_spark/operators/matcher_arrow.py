@@ -101,7 +101,8 @@ def match_captions_arrow(
     ]
     bc = spark.sparkContext.broadcast(dim_rows)
 
-    out_schema = f"{id_col} string, list string, matched_name string"
+    id_type = images.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, list string, matched_name string"
 
     def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         index = _MatcherIndex(bc.value)
