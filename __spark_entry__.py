@@ -433,13 +433,14 @@ FROM m
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.35 — documents
-    share a 31-word vocabulary, so real pairs exist at small SF)."""
+    share a 31-word vocabulary, so real pairs exist at small SF);
+    3-gram shingles keep the candidate join sparse."""
     from perl_data_validate_sanctions_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, w=2, threshold=0.35)
+    out = ngram_jaccard_pairs(docs, w=3, threshold=0.3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -451,8 +452,8 @@ WITH tok AS (
   FROM documents
 ), sh AS (
   SELECT id, list_distinct(
-           [array_to_string(toks[i:i+1], ' ')
-            for i in range(1, greatest(len(toks) - 1, 1) + 1)]) AS s
+           [array_to_string(toks[i:i+2], ' ')
+            for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
   FROM tok
 ), pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
@@ -461,7 +462,7 @@ WITH tok AS (
   FROM sh a JOIN sh b ON a.id < b.id
 )
 SELECT id_a, id_b, round(inter * 1.0 / uni, 6) AS jaccard
-FROM pairs WHERE uni > 0 AND inter * 1.0 / uni >= 0.35
+FROM pairs WHERE uni > 0 AND inter * 1.0 / uni >= 0.3
 """
 
 
@@ -628,7 +629,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(docs, w=2, k=64, bands=32, threshold=0.35)
+    out = minhash_lsh_pairs(docs, w=3, k=64, bands=32, threshold=0.3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -110,14 +110,20 @@ def minhash_signature(col: Column | str, k: int = 64) -> Column:
     min over shingles of xxhash64(i, shingle) — k independent hash
     families from the seed parameter, all JVM-side."""
     sh = col if isinstance(col, Column) else F.col(col)
-
-    def family(i: int) -> Column:
-        # NB: the transform lambda must be single-argument — a second
-        # parameter would be bound to the ELEMENT INDEX by Spark,
-        # not to the captured hash-family seed
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
-
-    return F.array(*[family(i) for i in range(k)])
+    # one aggregate pass holding k running minima (vs k separate
+    # array traversals: same hash count, but a k× smaller expression
+    # tree → fast codegen, and one scan of the shingle array)
+    init = F.array_repeat(F.lit((1 << 63) - 1), k)
+    seeds = F.sequence(F.lit(0), F.lit(k - 1))
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(i, s)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
