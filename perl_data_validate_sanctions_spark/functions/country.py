@@ -118,6 +118,8 @@ ALIASES: dict[str, str] = {
     "united arab emirates (uae)": "ae", "uae": "ae",
     "kyrgyz republic": "kg", "slovak republic": "sk",
     "iran, islamic republic": "ir", "islamic republic of iran": "ir",
+    "democratic people's republic of korea": "kp", "dprk": "kp",
+    "korea (the democratic people's republic of)": "kp",
     "russian federation": "ru", "republic of korea": "kr",
     "people's republic of china": "cn", "prc": "cn",
 }
