@@ -57,6 +57,17 @@ def drift_check(
         .groupBy("partition_id", "value")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return drift_from_hist(hist, value_col, kind=kind, alpha=alpha)
+
+
+def drift_from_hist(
+    hist: DataFrame,
+    value_col: str,
+    kind: str = "ks",
+    alpha: float = 1e-6,
+) -> DataFrame:
+    """Same verdicts from a prebuilt (partition_id, value, n) histogram —
+    lets the runner feed several drift checks from one cube scan."""
     global_hist = hist.groupBy("value").agg(F.sum("n").alias("n_global"))
     joined = hist.join(F.broadcast(global_hist), "value")
 

@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..checks.drift import drift_check, drift_violations
+from ..checks.drift import drift_from_hist, drift_violations
 from ..checks.integrity import integrity_violations
 from ..checks.referential import referential_violations
 from ..checks.schema_check import schema_violations
@@ -84,6 +84,18 @@ def run_validation(
     pieces: list[DataFrame] = []
     drift_results: dict[str, DataFrame] = {}
 
+    # ONE scan builds the (partition, w, h, fmt) data cube; the three
+    # drift histograms AND the per-partition row counts all derive from
+    # it without touching the table again (w/h/fmt are low-cardinality,
+    # so the cube is tiny: |parts| × |w| × |h| × |fmt| rows)
+    cube = (
+        images.groupBy(
+            part.cast("int").alias("partition_id"), "w", "h", "fmt"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+
     if "schema" in checks:
         pieces.append(schema_violations(images, part))
     if "unique_image_id" in checks:
@@ -101,7 +113,12 @@ def run_validation(
     for col, kind in (("w", "ks"), ("h", "ks"), ("fmt", "chi2")):
         name = f"drift_{col}"
         if name in checks:
-            res = drift_check(images, col, part, kind=kind)
+            hist = (
+                cube.filter(F.col(col).isNotNull())
+                .groupBy("partition_id", F.col(col).alias("value"))
+                .agg(F.sum("n").alias("n"))
+            )
+            res = drift_from_hist(hist, col, kind=kind)
             drift_results[col] = res
             pieces.append(drift_violations(res))
     if "integrity" in checks:
@@ -112,10 +129,11 @@ def run_validation(
         )
         matches = matcher(images, entries)
         # a sanctioned caption is a violation row (the reference's
-        # {matched: 1} verdict, re-framed as a constraint failure)
+        # {matched: 1} verdict, re-framed as a constraint failure);
+        # the logical partition derives from image_id alone, so no
+        # join back to the table is needed
         pieces.append(
-            matches.join(images.select("image_id", "caption"), "image_id")
-            .select(
+            matches.select(
                 F.lit("sanctioned").alias("check"),
                 part.cast("int").alias("partition_id"),
                 F.col("image_id").cast("string"),
@@ -136,8 +154,8 @@ def run_validation(
         violations = spark.createDataFrame([], VIOLATION_SCHEMA)
     violations = violations.cache()
 
-    rows_per_part = images.groupBy(part.cast("int").alias("partition_id")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    rows_per_part = cube.groupBy("partition_id").agg(
+        F.sum("n").alias("n_rows")
     )
     fails_per_part = violations.groupBy("partition_id").agg(
         F.count(F.lit(1)).alias("n_violations"),
