@@ -1,0 +1,54 @@
+"""Facade API parity — the reference's calling conventions and verdict
+shapes (t/01_basic.t, t/03_oo.t surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from perl_data_validate_sanctions_spark.api import SanctionsValidator
+from perl_data_validate_sanctions_spark.sources.synth import synth_entries
+
+
+@pytest.fixture(scope="module")
+def validator(spark):
+    return SanctionsValidator(spark, entries=synth_entries(spark, n_extra=10))
+
+
+def test_positional_api(validator):
+    assert validator.is_sanctioned("NEVEROV", "Sergei Ivanovich", -253411200) == 1
+    assert validator.is_sanctioned("chris", "down") == 0
+
+
+def test_keyword_api_verdict_shape(validator):
+    r = validator.get_sanctioned_info(
+        first_name="Zaki", last_name="Ahmad", date_of_birth="1999-01-05"
+    )
+    assert r == {
+        "matched": 1,
+        "list": "EU-Sanctions",
+        "comment": None,
+        "matched_args": {"name": "Zaki Izzat Zaki AHMAD", "dob_year": 1999},
+    }
+    assert validator.get_sanctioned_info("nobody", "anywhere") == {"matched": 0}
+
+
+def test_update_data_and_export(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("snap") / "entries.parquet")
+    v = SanctionsValidator(spark, sanction_path=path)
+    base = synth_entries(spark, n_extra=5)
+    base.write.mode("overwrite").parquet(path)
+    v._last_load = 0  # force reload past the throttle
+
+    # a fetch that drops one source's entries → that source replaced
+    fetched = base.filter(F.col("source") != "EU-Sanctions").unionByName(
+        base.filter(F.col("source") == "EU-Sanctions").limit(1)
+    )
+    decisions = {r["source"]: r for r in v.update_data(fetched).collect()}
+    assert decisions["EU-Sanctions"]["changed"] is True
+    unchanged = [s for s, r in decisions.items() if not r["changed"]]
+    assert unchanged  # the untouched sources are not rewritten
+
+    out = str(tmp_path_factory.mktemp("exp") / "out.parquet")
+    v.export_data(out)
+    assert spark.read.parquet(out).count() == v.data().count()
