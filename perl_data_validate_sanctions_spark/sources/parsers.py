@@ -693,3 +693,26 @@ def parse_moha_xml(
         F.lit(None).cast("array<string>").alias("passport_no"),
     )
     return None, _finish(ind_raw.unionByName(grp_raw), source)
+
+
+# ---------------------------------------------------------------- zip ---
+
+def parse_ofac_xml_zip(
+    spark: SparkSession, path: str, source: str = "OFAC-SDN"
+) -> tuple[int | None, DataFrame]:
+    """S3 (Fetcher.pm:117-122): the OFAC SDN feed arrives zipped ("7mb+
+    file", Fetcher.pm:75); decompress driver-side to a temp file and
+    delegate to the XML parser. (At cluster scale the decompressed file
+    would land on shared storage first; the parse itself is
+    distributed either way.)"""
+    import tempfile
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        inner = zf.namelist()[0]
+        with tempfile.NamedTemporaryFile(
+            suffix=".xml", delete=False
+        ) as out:
+            out.write(zf.read(inner))
+            tmp_path = out.name
+    return parse_ofac_xml(spark, tmp_path, source=source)
