@@ -52,9 +52,10 @@ def uniqueness_violations(
         if partition_expr is not None
         else F.lit(None).cast("int")
     )
-    hits = df.join(
-        F.broadcast(dups), df[key_col] == dups["key"], "left_semi"
-    )
+    # no broadcast hint on purpose: the duplicate-key set is
+    # data-dependent (could be huge under pathological duplication), so
+    # AQE picks broadcast-vs-shuffle from the set's ACTUAL runtime size
+    hits = df.join(dups, df[key_col] == dups["key"], "left_semi")
     return hits.select(
         F.lit(f"unique_{key_col}").alias("check"),
         part.cast("int").alias("partition_id"),

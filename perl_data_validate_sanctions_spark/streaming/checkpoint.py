@@ -27,7 +27,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import canonical_row_hash, content_hash_agg
+from ..functions.hashing import canonical_row_hash, content_hash_agg_scalable
 from ..schema import LINEAGE_SCHEMA
 
 
@@ -76,8 +76,9 @@ def partition_lineage(
 ) -> DataFrame:
     """One lineage row per partition: verdict counts + canonical content
     hash (sha256 over the partition's row hashes — Fetcher.pm:966-979
-    semantics, order-insensitive; `bytes` excluded so lineage never
-    scans payloads)."""
+    semantics, order-insensitive via the O(1)-state commutative
+    aggregate so a partition of billions of rows never collects;
+    `bytes` excluded so lineage never scans payloads)."""
     now = int(now if now is not None else time.time())
     hashes = (
         images.select(
@@ -87,7 +88,7 @@ def partition_lineage(
             ).alias("__rh"),
         )
         .groupBy("partition_id")
-        .agg(content_hash_agg("__rh").alias("content_hash"))
+        .agg(content_hash_agg_scalable("__rh").alias("content_hash"))
     )
     return (
         partition_verdicts.join(hashes, "partition_id", "left")
