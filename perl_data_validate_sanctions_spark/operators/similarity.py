@@ -155,3 +155,118 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+# ------------------------------------------------------------------ IVF ---
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """index of the closest centroid (squared L2), centroids inlined as
+    literal arrays (small: K × dim floats, constant-folded)."""
+    best = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        pair = F.struct(d.alias("d"), F.lit(i).alias("i"))
+        best = pair if best is None else F.when(pair["d"] < best["d"], pair).otherwise(best)
+    return best["i"]
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic mini-kmeans for the IVF coarse quantizer.
+
+    Init: mean of each hash-partition of the ids (seed-free,
+    reproducible). Update: per-cluster elementwise means via dim
+    separate SUM aggregates — one narrow groupBy per iteration, no
+    per-row Python. Index building is a one-off amortized cost; only
+    the assignment expression runs at query time."""
+    def cluster_means(df: DataFrame, cluster: Column) -> list[list[float]]:
+        aggs = [F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
+                for i in range(dim)]
+        rows = (
+            df.groupBy(cluster.alias("c"))
+            .agg(F.count(F.lit(1)).alias("n"), *aggs)
+            .collect()
+        )
+        out: dict[int, list[float]] = {}
+        for r in rows:
+            out[r["c"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        # empty clusters keep their previous position implicitly (absent)
+        return [out.get(i) for i in range(n_centroids)]
+
+    init = cluster_means(
+        emb, F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)).cast("int")
+    )
+    centroids = [c if c is not None else [0.0] * dim for c in init]
+    for _ in range(iterations):
+        updated = cluster_means(
+            emb, _nearest_centroid(F.col(vec_col), centroids)
+        )
+        centroids = [
+            u if u is not None else centroids[i] for i, u in enumerate(updated)
+        ]
+    return centroids
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search: vectors pre-bucketed by nearest centroid; each query
+    probes its ``n_probe`` closest centroid buckets only — the classic
+    inverted-file ANN trade (recall vs 1/n_centroids of the scan).
+    At cluster scale the emb side is written partitioned by
+    ``ivf_cluster`` so probing prunes partitions at the scan."""
+    n_centroids = len(centroids)
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("bucket"),
+    )
+    # per-query: n_probe nearest centroids via the same distance exprs
+    dists = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    probes = F.transform(
+        F.slice(F.array_sort(F.array(*dists)), 1, n_probe), lambda s: s["i"]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        ).withColumn("bucket", F.explode(probes))
+    )
+    scored = e.join(q, "bucket").withColumn(
+        "cosine", cosine(F.col("v"), F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

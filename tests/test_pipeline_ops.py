@@ -162,3 +162,37 @@ def test_multimodal_plumbing(spark):
     assert all(len(t["thumb"]) == 32 * 16 for t in thumbs)
     frames = sample_frames(images.limit(10), every_n=4, n_frames=16).collect()
     assert len(frames) == 10 * 4  # 16 bands sampled every 4
+
+
+def test_ivf_ann(spark, emb):
+    from perl_data_validate_sanctions_spark.operators.similarity import (
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    centroids = train_ivf_centroids(emb, n_centroids=4, dim=16, iterations=2)
+    assert len(centroids) == 4 and all(len(c) == 16 for c in centroids)
+    # deterministic: retraining yields identical centroids
+    again = train_ivf_centroids(emb, n_centroids=4, dim=16, iterations=2)
+    assert centroids == again
+
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # probing ALL buckets must reproduce exact brute-force results
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_ann_topk(
+            emb, queries, centroids, k=5, n_probe=4
+        ).collect()
+    }
+    assert full_probe == exact
+    # 1-probe search still finds each query's self-match at rank 1
+    one_probe = ivf_ann_topk(emb, queries, centroids, k=5, n_probe=1)
+    top1 = {r["query_id"]: r["vec_id"] for r in one_probe.collect()
+            if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
