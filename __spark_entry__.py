@@ -660,6 +660,26 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic mini-kmeans coarse quantizer, full-probe —
+    reproduces brute force; kmeans is not SQL-expressible → rows-only,
+    recall asserted vs brute force in pytest)."""
+    from perl_data_validate_sanctions_spark.operators.similarity import (
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_centroids=8, dim=64, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_ann_topk(emb, queries, centroids, k=5, n_probe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
 # ------------------------------------------------------------- contract ---
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -692,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 
@@ -720,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_chi2_events": _DRIFT_ORACLE,
         "content_hash": _CONTENT_HASH_ORACLE,
         "incremental_merge": _MERGE_ORACLE,
+        "ivf_ann_topk": _ANN_ORACLE,  # full-probe IVF ≡ brute force
         # minhash_lsh_pairs / simhash_near_dups / lsh_ann_topk:
         # xxhash64-based, intentionally no oracle (rows-only check)
     }
