@@ -52,3 +52,22 @@ def test_update_data_and_export(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("exp") / "out.parquet")
     v.export_data(out)
     assert spark.read.parquet(out).count() == v.data().count()
+
+
+def test_sanction_file_env_precedence(spark, tmp_path_factory, monkeypatch):
+    """t/02_env.t:43-50: explicit path beats $SANCTION_FILE beats bundled."""
+    from perl_data_validate_sanctions_spark.sources.synth import synth_entries
+
+    d = tmp_path_factory.mktemp("envprec")
+    env_path = str(d / "env.parquet")
+    explicit_path = str(d / "explicit.parquet")
+    synth_entries(spark, n_extra=0).limit(1).write.parquet(env_path)
+    synth_entries(spark, n_extra=0).limit(3).write.parquet(explicit_path)
+
+    monkeypatch.setenv("SANCTION_FILE", env_path)
+    v_env = SanctionsValidator(spark)
+    assert v_env.sanction_path == env_path
+    assert v_env.data().count() == 1
+
+    v_explicit = SanctionsValidator(spark, sanction_path=explicit_path)
+    assert v_explicit.data().count() == 3
