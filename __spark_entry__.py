@@ -680,6 +680,76 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation pipeline: quality gate →
+    exact dedup (normalized-md5, min-id survivor) → near-dup removal
+    (3-gram Jaccard ≥ 0.5; the larger id of every pair is dropped) →
+    clean corpus with token counts. One deterministic pass composed
+    entirely of the engine's operators."""
+    from perl_data_validate_sanctions_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from perl_data_validate_sanctions_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.filter(F.round(quality_score("text"), 6) >= 0.8)
+    uniq = exact_dedup(gated)
+    pairs = ngram_jaccard_pairs(uniq, w=3, threshold=0.5)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    clean = uniq.join(dropped, "doc_id", "left_anti")
+    return clean.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+
+
+_CURATE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks, len(toks) AS n,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+         length(array_to_string(toks, '')) AS tok_chars,
+         len(list_distinct(toks)) AS n_distinct
+  FROM tok
+), q AS (
+  SELECT doc_id, text, toks, n, round(
+      0.25 * (CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 ELSE 0.3 END)
+    + 0.25 * (CASE WHEN length(text) > 0 THEN alpha_chars * 1.0 / length(text) ELSE 0.0 END)
+    + 0.25 * (CASE WHEN n > 0 AND tok_chars * 1.0 / n >= 2.0 AND tok_chars * 1.0 / n <= 12.0 THEN 1.0 ELSE 0.4 END)
+    + 0.25 * (CASE WHEN n > 0 THEN n_distinct * 1.0 / n ELSE 0.0 END), 6) AS quality
+  FROM m
+), gated AS (SELECT * FROM q WHERE quality >= 0.8),
+uniq AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1
+), sh AS (
+  SELECT doc_id, list_distinct(
+           [array_to_string(toks[i:i+2], ' ')
+            for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+  FROM uniq
+), dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+)
+SELECT u.doc_id, len(u.toks) AS n_tokens, u.quality
+FROM uniq u WHERE u.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 # ------------------------------------------------------------- contract ---
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -713,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -742,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
         "content_hash": _CONTENT_HASH_ORACLE,
         "incremental_merge": _MERGE_ORACLE,
         "ivf_ann_topk": _ANN_ORACLE,  # full-probe IVF ≡ brute force
+        "curate_corpus": _CURATE_ORACLE,
         # minhash_lsh_pairs / simhash_near_dups / lsh_ann_topk:
         # xxhash64-based, intentionally no oracle (rows-only check)
     }
