@@ -111,6 +111,42 @@ def main() -> None:
     match_captions_arrow(images, entries).count()
     timings["match_captions_arrow"] = round(time.time() - t0, 3)
 
+    # single-node reference-shape proxy: the reference is a single-
+    # threaded in-process engine (in-memory inverted token index +
+    # per-probe loop, Sanctions.pm:253-315); _MatcherIndex reproduces
+    # exactly that shape in one Python thread — the honest stand-in
+    # for "the reference's single-node throughput at the same scale"
+    # (the Perl library itself can't run here: CPAN deps absent)
+    from perl_data_validate_sanctions_spark.operators.matcher import (
+        build_name_dim,
+    )
+    from perl_data_validate_sanctions_spark.operators.matcher_arrow import (
+        _clean_tokens_py,
+        _MatcherIndex,
+    )
+
+    caps = [
+        r["caption"]
+        for r in images.select("caption").collect()
+        if r["caption"]
+    ]
+    dim_rows = [
+        r.asDict()
+        for r in build_name_dim(entries)
+        .select("entry_id", "source", "name", "name_tokens")
+        .collect()
+    ]
+    index = _MatcherIndex(dim_rows)
+    t0 = time.time()
+    hits = sum(
+        1
+        for c in caps
+        if index.match_caption_tokens(_clean_tokens_py(c)) is not None
+    )
+    t_single = time.time() - t0
+    timings["single_node_reference_proxy_match"] = round(t_single, 3)
+    single_node_qps = round(len(caps) / t_single, 1) if t_single > 0 else None
+
     # key testdata queries
     import __spark_entry__ as em
 
@@ -132,6 +168,10 @@ def main() -> None:
         "sf": float(sf),
         "images_rows": n_rows,
         "images_per_sec": round(n_rows / t_full, 1),
+        "single_node_reference_proxy_captions_per_sec": single_node_qps,
+        "engine_match_captions_per_sec": round(
+            n_rows / timings["match_captions_native"], 1
+        ),
         "cores": cpus,
     }
     print(json.dumps(result))
