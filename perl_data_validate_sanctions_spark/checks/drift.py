@@ -17,8 +17,6 @@ So Python sees only histograms, never rows."""
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 
@@ -86,10 +84,8 @@ def drift_from_hist(
             values = pd.to_numeric(pdf["value"]).to_numpy(dtype=np.float64)
             stat, p = ks_two_sample_from_counts(values, own, rest)
         else:
-            total = own.sum() + rest.sum()
             props = rest / rest.sum() if rest.sum() > 0 else rest
             stat, p, _ = chi2_from_counts(own, props)
-            del total
         return pd.DataFrame(
             [
                 dict(

@@ -3,7 +3,6 @@ schema, plus the statistics math."""
 
 from __future__ import annotations
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 

@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import calendar
 
-import pytest
-
 from perl_data_validate_sanctions_spark.sources.parsers import (
     parse_eu_xml,
     parse_hmt_csv,

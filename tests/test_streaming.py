@@ -4,7 +4,6 @@ windowed mix monitoring."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from perl_data_validate_sanctions_spark.sources.synth import (
