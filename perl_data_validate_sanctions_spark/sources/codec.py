@@ -60,11 +60,14 @@ def decode(payload: bytes) -> tuple[str, int, int, np.ndarray]:
         seed, amp = int(parts[4]), int(parts[5])
     except Exception as e:  # noqa: BLE001
         raise ValueError(f"undecodable payload: {e}") from e
-    img = render(seed, w, h).astype(np.int16)
+    img = render(seed, w, h)
     if amp:
         noise_rng = np.random.Generator(np.random.PCG64(seed ^ 0x5EED))
-        img = img + noise_rng.integers(-amp, amp + 1, size=img.shape, dtype=np.int16)
-    return fmt, w, h, np.clip(img, 0, 255).astype(np.uint8)
+        noisy = img.astype(np.int16) + noise_rng.integers(
+            -amp, amp + 1, size=img.shape, dtype=np.int16
+        )
+        return fmt, w, h, np.clip(noisy, 0, 255).astype(np.uint8)
+    return fmt, w, h, img
 
 
 def decode_reference(image_id: str, w: int, h: int) -> np.ndarray:
