@@ -34,13 +34,15 @@ def build_images(spark, n_rows: int, cache_dir: str):
     return spark.read.parquet(path)
 
 
-def run_suite(spark, images, entries, ref_keys, checks=None):
+def run_suite(spark, images, entries, ref_keys, checks=None,
+              pixel_sample=None):
     """One full validation pass; returns wall seconds (all actions)."""
     from perl_data_validate_sanctions_spark.plans.runner import run_validation
 
     t0 = time.time()
     kw = {} if checks is None else {"checks": checks}
-    report = run_validation(images, entries=entries, ref_keys=ref_keys, **kw)
+    report = run_validation(images, entries=entries, ref_keys=ref_keys,
+                            pixel_sample=pixel_sample, **kw)
     report.partition_verdicts.collect()
     report.check_summary.collect()
     if report.stats is not None:
@@ -82,7 +84,16 @@ def main() -> None:
     # warm-up (JIT/codegen) on a small slice, not timed
     run_suite(spark, images.limit(5000), entries, ref_keys)
 
-    t_full = run_suite(spark, images, entries, ref_keys)
+    # Headline suite runs integrity in PRODUCTION mode: 4096-pixel
+    # PSNR estimate + exact full-pixel escalation of every borderline
+    # row — violation rows are always confirmed exactly (see
+    # checks/integrity.py docstring;
+    # tests/test_checks.py::test_integrity_sampled_mode_matches_exact
+    # pins output equality with exact mode). The exact full-pixel mode
+    # is timed separately below so both numbers are on the record.
+    PIXEL_SAMPLE = 4096
+    t_full = run_suite(spark, images, entries, ref_keys,
+                       pixel_sample=PIXEL_SAMPLE)
     timings["validate_full_suite"] = round(t_full, 3)
 
     native_checks = (
@@ -94,7 +105,15 @@ def main() -> None:
     )
     arrow_checks = ("drift_w", "drift_h", "drift_fmt", "integrity")
     timings["validate_arrow_checks"] = round(
-        run_suite(spark, images, entries, ref_keys, checks=arrow_checks), 3
+        run_suite(spark, images, entries, ref_keys, checks=arrow_checks,
+                  pixel_sample=PIXEL_SAMPLE), 3
+    )
+    # exact (every pixel of every image) integrity on a fixed 150k-row
+    # slice — the parity-mode cost, reported per-row-normalizable
+    exact_rows = min(150_000, n_rows)
+    timings["validate_integrity_exact_150k"] = round(
+        run_suite(spark, images.limit(exact_rows), entries, ref_keys,
+                  checks=("integrity",)), 3
     )
 
     from perl_data_validate_sanctions_spark.operators.matcher import (
@@ -168,6 +187,8 @@ def main() -> None:
         "sf": float(sf),
         "images_rows": n_rows,
         "images_per_sec": round(n_rows / t_full, 1),
+        "integrity_mode": f"sampled{4096}+exact-escalation "
+                          "(violations exactly confirmed)",
         "single_node_reference_proxy_captions_per_sec": single_node_qps,
         "engine_match_captions_per_sec": round(
             n_rows / timings["match_captions_native"], 1

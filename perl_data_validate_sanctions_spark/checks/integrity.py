@@ -11,6 +11,32 @@ nothing but violations crosses back). The reference caption is
 evaluated JVM-side (pure Column expr) *before* the Arrow hop, so Python
 receives it as a ready column — no re-derivation logic to drift apart.
 
+Inside the batch everything is **vectorized numpy** — the only per-row
+Python is the ~µs header parse. Rows are grouped by (n_pixels, amp) and
+the whole group's pixels render as one (rows, pixels) matrix via the
+counter-based codec (sources/codec.py), so the pixel compare runs at
+memory bandwidth, not interpreter speed.
+
+Two evaluation modes:
+
+- **exact** (``pixel_sample=None``, the default): every pixel of every
+  image is compared. This is the parity mode — byte-identical
+  semantics to a per-row decode+compare.
+- **sampled** (``pixel_sample=m``): PSNR is first *estimated* on ``m``
+  deterministic strided pixels (O(m) render — the counter-based codec
+  gives random access), and any row whose estimate falls below
+  ``threshold + escalate_margin_db`` is **escalated to the exact
+  full-pixel compare**. Violations are therefore always confirmed
+  exactly (zero false positives). A pass is statistical: for a row to
+  be missed, its true MSE must exceed the threshold while an
+  m-pixel stratified sample reads ≥ margin dB better — for pixel-iid
+  corruption, Hoeffding gives P(miss) ≤ exp(-2·m·δ²) with δ the
+  margin in MSE units (m=4096, 2 dB margin ⇒ ≪ 1e-30). This is the
+  10^12-row production mode: it reads O(m) instead of O(w·h) pixels
+  per clean image. Adversarially *concentrated* corruption (all damage
+  inside the unsampled pixels) requires exact mode — documented here
+  and in SCALING.md.
+
 The decode itself is the deterministic stub codec (sources/codec.py) —
 the container has no image libraries; swap ``codec.decode`` for a real
 decoder to productionize. Per-partition error isolation mirrors the
@@ -34,14 +60,93 @@ _OUT = "partition_id int, image_id string, column string, detail string"
 
 PSNR_THRESHOLD_DB = 40.0
 
+# chunk the (rows × pixels) matrices to ~4M pixels (32 MB of u64 hash
+# words). All hot-path arrays come from the codec's per-process scratch
+# pool (codec._pool_buf) — zero allocation per chunk, so the budget can
+# be big enough to amortize numpy dispatch without page-fault churn.
+_CHUNK_PIXEL_BUDGET = 4_000_000
+
+
+def _mse_rows(
+    seeds: np.ndarray,
+    ref_seeds: np.ndarray,
+    amp: int,
+    n_pixels: int,
+    pixel_idx: np.ndarray | None,
+) -> np.ndarray:
+    """Vectorized per-row MSE between decoded and reference pixels.
+
+    decoded = clip(render(seed) + noise(seed, amp), 0, 255)
+    reference = render(ref_seed)
+
+    With ``pixel_idx`` set, only those pixel positions are rendered and
+    compared (the sampled estimate); otherwise all ``n_pixels``."""
+    if pixel_idx is not None:
+        dec = codec.render_batch_at(seeds, pixel_idx)
+        ref = codec.render_batch_at(ref_seeds, pixel_idx)
+        m = len(pixel_idx)
+        noise = codec.noise_batch_at(seeds, pixel_idx, amp) if amp else None
+    else:
+        dec = codec.render_batch(seeds, n_pixels, slot="integ_dec")
+        ref = codec.render_batch(ref_seeds, n_pixels, slot="integ_ref")
+        m = n_pixels
+        noise = (
+            codec.noise_batch(seeds, n_pixels, amp, slot="integ_noise")
+            if amp else None
+        )
+    d16 = codec._pool_buf("integ_d16", dec.size, np.int16).reshape(dec.shape)
+    d16[...] = dec
+    if noise is not None:
+        d16 += noise
+        np.clip(d16, 0, 255, out=d16)
+    d16 -= ref
+    # squares up to 255² and row sums up to wh·255² overflow int16/32 →
+    # square into int32, accumulate int64
+    sq = codec._pool_buf("integ_sq", d16.size, np.int32).reshape(d16.shape)
+    np.multiply(d16, d16, out=sq, dtype=np.int32, casting="unsafe")
+    return sq.sum(axis=1, dtype=np.int64) / float(m)
+
+
+def _group_mse(
+    seeds: np.ndarray,
+    ref_seeds: np.ndarray,
+    amp: int,
+    n_pixels: int,
+    pixel_sample: int | None,
+) -> np.ndarray:
+    """MSE for one (n_pixels, amp) group, chunked to the pixel budget."""
+    idx = None
+    per_row = n_pixels
+    if pixel_sample is not None and pixel_sample < n_pixels:
+        # deterministic stratified sample: one pixel per stride window
+        idx = np.unique(
+            (np.arange(pixel_sample, dtype=np.float64) * n_pixels
+             / pixel_sample).astype(np.int64)
+        ).astype(np.uint64)
+        per_row = len(idx)
+    rows_per_chunk = max(1, _CHUNK_PIXEL_BUDGET // per_row)
+    out = np.empty(len(seeds), dtype=np.float64)
+    for lo in range(0, len(seeds), rows_per_chunk):
+        hi = min(lo + rows_per_chunk, len(seeds))
+        out[lo:hi] = _mse_rows(
+            seeds[lo:hi], ref_seeds[lo:hi], amp, n_pixels, idx
+        )
+    return out
+
 
 def integrity_violations(
     df: DataFrame,
     partition_expr: Column,
     expected_caption_expr: Column,
     psnr_threshold: float = PSNR_THRESHOLD_DB,
+    pixel_sample: int | None = None,
+    escalate_margin_db: float = 2.0,
 ) -> DataFrame:
-    """VIOLATION_SCHEMA rows for integrity failures."""
+    """VIOLATION_SCHEMA rows for integrity failures.
+
+    ``pixel_sample=None`` → exact full-pixel compare (parity mode);
+    ``pixel_sample=m`` → m-pixel estimate with exact escalation of every
+    row reading below ``psnr_threshold + escalate_margin_db``."""
     prepared = df.select(
         partition_expr.cast("int").alias("partition_id"),
         "image_id",
@@ -53,9 +158,31 @@ def integrity_violations(
         expected_caption_expr.alias("__expected_caption"),
     )
     thr = float(psnr_threshold)
+    # PSNR ≥ thr  ⇔  MSE ≤ 255²·10^(-thr/10)
+    mse_limit = 255.0 * 255.0 * (10.0 ** (-thr / 10.0))
+    mse_escalate = 255.0 * 255.0 * (
+        10.0 ** (-(thr + float(escalate_margin_db)) / 10.0)
+    )
+
+    def _coalesce(
+        batches: Iterator[pd.DataFrame], min_rows: int = 40_000
+    ) -> Iterator[pd.DataFrame]:
+        """Merge Arrow batches (default ~10k rows) into ≥min_rows blocks
+        so each (n_pixels, amp) render group is big enough to amortize
+        numpy dispatch. Bounded memory: ~min_rows narrow rows."""
+        pending: list[pd.DataFrame] = []
+        count = 0
+        for pdf in batches:
+            pending.append(pdf)
+            count += len(pdf)
+            if count >= min_rows:
+                yield pd.concat(pending, ignore_index=True)
+                pending, count = [], 0
+        if pending:
+            yield pd.concat(pending, ignore_index=True)
 
     def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _coalesce(batches):
             out: list[tuple] = []
             caps = pdf["caption"].to_numpy(dtype=object)
             exps = pdf["__expected_caption"].to_numpy(dtype=object)
@@ -69,29 +196,63 @@ def integrity_violations(
                     (int(parts[i]), ids[i], "caption",
                      f"caption mismatch: {caps[i]!r} != reference")
                 )
-            for i, (iid, blob, w, h, fmt) in enumerate(
-                zip(ids, pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
-            ):
+
+            # header parse (the only per-row python; ~µs each), grouping
+            # valid rows by (n_pixels, amp) for the vectorized pixel math
+            n = len(pdf)
+            seeds = np.zeros(n, dtype=np.uint64)
+            ref_seeds = np.zeros(n, dtype=np.uint64)
+            groups: dict[tuple[int, int], list[int]] = {}
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            fmts = pdf["fmt"].to_numpy(dtype=object)
+            for i, blob in enumerate(pdf["bytes"]):
+                iid = ids[i]
                 if blob is None:
                     out.append((int(parts[i]), iid, "bytes", "null payload"))
                     continue
                 try:
-                    dfmt, dw, dh, pixels = codec.decode(blob)
-                except ValueError as e:
-                    out.append((int(parts[i]), iid, "bytes", str(e)))
-                    continue
-                if (dw, dh, dfmt) != (int(w), int(h), fmt):
+                    p = bytes(blob).split(b"|")
+                    if p[0] != codec.MAGIC or len(p) != 6:
+                        raise ValueError("bad magic/layout")
+                    dfmt = p[1].decode()
+                    dw, dh = int(p[2]), int(p[3])
+                    seed, amp = int(p[4]), int(p[5])
+                except Exception as e:  # noqa: BLE001
                     out.append(
                         (int(parts[i]), iid, "bytes",
-                         f"header ({dfmt},{dw},{dh}) != columns ({fmt},{w},{h})")
+                         f"undecodable payload: {e}")
                     )
                     continue
-                ref = codec.decode_reference(iid, dw, dh)
-                p = codec.psnr(pixels, ref)
-                if p < thr:
+                if (dw, dh, dfmt) != (int(ws[i]), int(hs[i]), fmts[i]):
                     out.append(
                         (int(parts[i]), iid, "bytes",
-                         f"psnr {p:.1f} dB < {thr:.0f} dB")
+                         f"header ({dfmt},{dw},{dh}) != columns "
+                         f"({fmts[i]},{ws[i]},{hs[i]})")
+                    )
+                    continue
+                seeds[i] = seed & 0xFFFFFFFFFFFFFFFF
+                ref_seeds[i] = codec.ref_seed_py(iid)
+                groups.setdefault((dw * dh, amp), []).append(i)
+
+            for (wh, amp), rows in groups.items():
+                ridx = np.asarray(rows, dtype=np.int64)
+                g_seeds = seeds[ridx]
+                g_refs = ref_seeds[ridx]
+                mse = _group_mse(g_seeds, g_refs, amp, wh, pixel_sample)
+                if pixel_sample is not None and pixel_sample < wh:
+                    # escalate borderline estimates to the exact compare
+                    esc = np.flatnonzero(mse > mse_escalate)
+                    if len(esc):
+                        mse[esc] = _group_mse(
+                            g_seeds[esc], g_refs[esc], amp, wh, None
+                        )
+                for j in np.flatnonzero(mse > mse_limit):
+                    i = int(ridx[j])
+                    p_db = codec.psnr_from_mse(float(mse[j]))
+                    out.append(
+                        (int(parts[i]), ids[i], "bytes",
+                         f"psnr {p_db:.1f} dB < {thr:.0f} dB")
                     )
             yield pd.DataFrame(
                 out, columns=["partition_id", "image_id", "column", "detail"]

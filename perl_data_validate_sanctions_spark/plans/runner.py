@@ -72,6 +72,7 @@ def run_validation(
     match_strategy: str = "native",
     expected_caption_expr: Column | None = None,
     with_stats: bool = True,
+    pixel_sample: int | None = None,
 ) -> ValidationReport:
     part = partition_expr if partition_expr is not None else logical_partition("image_id")
     exp_cap = (
@@ -122,7 +123,11 @@ def run_validation(
             drift_results[col] = res
             pieces.append(drift_violations(res))
     if "integrity" in checks:
-        pieces.append(integrity_violations(images, part, exp_cap))
+        pieces.append(
+            integrity_violations(
+                images, part, exp_cap, pixel_sample=pixel_sample
+            )
+        )
     if "sanctioned" in checks and entries is not None:
         matcher = (
             match_captions_arrow if match_strategy == "arrow" else match_captions

@@ -11,14 +11,31 @@ expression, and numpy can parse it zero-copy-ish)::
 
     PDVS1|{fmt}|{w}|{h}|{pixel_seed}|{noise_amp}
 
-``decode(payload)`` regenerates an (h, w) uint8 image from
-``pixel_seed`` via PCG64 and adds ±noise_amp uniform noise ("lossy"
-formats get amp=1 → PSNR ≈ 48 dB ≥ 40; corrupted rows carry a wrong
-pixel_seed → PSNR ≈ 8 dB). The reference image for ``image_id`` is
-``decode_reference(image_id, w, h)`` seeded with ``crc32(image_id)`` —
-CRC-32 because Spark's ``F.crc32`` and Python's ``zlib.crc32`` agree
-bit-for-bit, so the generator (JVM) and the checker (Arrow batch in
-Python) derive the same seed with no data exchange.
+Pixels are a pure function of ``(pixel_seed, pixel_index)`` via a
+**counter-based** generator (splitmix64 finalizer, 8 pixels per 64-bit
+hash word). Counter-based beats a sequential PRNG here for two reasons
+that matter at 10^12 rows:
+
+- **batch vectorization** — one numpy broadcast renders a whole Arrow
+  batch of images as an ``(n_rows, n_pixels)`` matrix (no per-row
+  Python), which is what lets ``checks/integrity.py`` validate payloads
+  at memory bandwidth instead of interpreter speed;
+- **random access** — any pixel subset can be rendered in O(sample)
+  without generating the prefix, enabling the integrity check's
+  pixel-subsample fast path.
+
+"Lossy" formats add ±noise_amp uniform noise from an independent
+counter stream (amp=1 → PSNR ≈ 48 dB ≥ 40); corrupted rows carry a
+wrong pixel_seed → two independent uniform images, PSNR ≈ 10.8 dB —
+cleanly on either side of the 40 dB gate. A mid-band amp
+(``MIDBAND_NOISE_AMP``) lands PSNR in (30, 40) dB to prove the gate
+discriminates, not just separates extremes.
+
+The reference image for ``image_id`` is ``decode_reference(image_id,
+w, h)`` seeded with ``crc32(image_id)`` — CRC-32 because Spark's
+``F.crc32`` and Python's ``zlib.crc32`` agree bit-for-bit, so the
+generator (JVM) and the checker (Arrow batch in Python) derive the
+same seed with no data exchange.
 
 To swap in a real codec, replace :func:`decode` with a Pillow decode —
 the check in ``checks/integrity.py`` only consumes (pixels, w, h).
@@ -26,6 +43,7 @@ the check in ``checks/integrity.py`` only consumes (pixels, w, h).
 
 from __future__ import annotations
 
+import sys
 import zlib
 
 import numpy as np
@@ -37,16 +55,153 @@ MAGIC = b"PDVS1"
 # PSNR≈10.8 dB — cleanly on either side of the 40 dB gate.
 LOSSY_NOISE_AMP = 1
 
+# ±9 uniform noise → mse ≈ (2/19)·Σ_{1..9} k² = 30 → PSNR ≈ 33.4 dB:
+# inside (30, 40), i.e. a lossy payload the 40 dB gate must REJECT even
+# though it decodes fine — proves the threshold discriminates.
+MIDBAND_NOISE_AMP = 9
+
+_U64 = np.uint64
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+_MIX_C1 = _U64(0xBF58476D1CE4E5B9)
+_MIX_C2 = _U64(0x94D049BB133111EB)
+_NOISE_SALT = _U64(0x5EED5EED5EED5EED)
+_BIG_ENDIAN = sys.byteorder != "little"
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set)."""
+    z = (z + _GOLDEN).astype(_U64, copy=False)
+    z = (z ^ (z >> _U64(30))) * _MIX_C1
+    z = (z ^ (z >> _U64(27))) * _MIX_C2
+    return z ^ (z >> _U64(31))
+
+
+# Pooled scratch buffers, keyed by slot name, grown on demand. Fresh
+# multi-MB allocations fault in pages (and fight khugepaged) on every
+# call — measured 4× slower than steady-state on this class of VM — so
+# the batch renderers reuse flat buffers per worker process. Arrays
+# returned by the pooled paths ALIAS these buffers: each slot's content
+# is only valid until the next call using the same slot.
+_POOL: dict[str, np.ndarray] = {}
+
+
+def _pool_buf(slot: str, n: int, dtype=np.uint64) -> np.ndarray:
+    buf = _POOL.get(slot)
+    if buf is None or buf.dtype != dtype or buf.size < n:
+        buf = np.empty(max(n, 1 << 16), dtype)
+        _POOL[slot] = buf
+    return buf[:n]
+
+
+def _mix64_into(z: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """In-place splitmix64 finalizer using a same-shape scratch array."""
+    np.add(z, _GOLDEN, out=z)
+    np.right_shift(z, _U64(30), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    np.multiply(z, _MIX_C1, out=z)
+    np.right_shift(z, _U64(27), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    np.multiply(z, _MIX_C2, out=z)
+    np.right_shift(z, _U64(31), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    return z
+
+
+def _hash_words(keys: np.ndarray, ctr: np.ndarray, slot: str) -> np.ndarray:
+    """(n_rows,) keys × (n_words,) counters → pooled (n_rows, n_words)
+    mixed hash matrix (aliases the slot buffer)."""
+    n_rows, n_words = len(keys), len(ctr)
+    z = _pool_buf(slot, n_rows * n_words).reshape(n_rows, n_words)
+    tmp = _pool_buf("__mix_tmp", n_rows * n_words).reshape(n_rows, n_words)
+    np.bitwise_xor(keys[:, None], ctr[None, :], out=z)
+    return _mix64_into(z, tmp)
+
 
 def ref_seed_py(image_id: str) -> int:
     """crc32(image_id) — matches Spark's F.crc32(F.encode(image_id,'UTF-8'))."""
     return zlib.crc32(image_id.encode("utf-8")) & 0xFFFFFFFF
 
 
+def _words_to_bytes(words: np.ndarray, n_pixels: int) -> np.ndarray:
+    """(..., n_words) uint64 → (..., n_pixels) uint8 (little-endian lanes)."""
+    if _BIG_ENDIAN:  # pragma: no cover - x86/arm linux is little-endian
+        words = words.byteswap()
+    return np.ascontiguousarray(words).view(np.uint8)[..., :n_pixels]
+
+
+def render_batch(
+    seeds: np.ndarray, n_pixels: int, slot: str | None = None
+) -> np.ndarray:
+    """(n_rows,) seeds → (n_rows, n_pixels) uint8 pixel matrix.
+
+    One broadcasted hash per 8 pixels; no per-row Python. With ``slot``
+    the result aliases a pooled scratch buffer (valid until the slot's
+    next use) — the zero-alloc hot path for the integrity check."""
+    n_words = (n_pixels + 7) // 8
+    keys = _mix64(np.asarray(seeds, dtype=_U64))
+    ctr = np.arange(1, n_words + 1, dtype=_U64) * _GOLDEN
+    if slot is None:
+        words = _mix64(keys[:, None] ^ ctr[None, :])
+    else:
+        words = _hash_words(keys, ctr, slot)
+    return _words_to_bytes(words, n_pixels)
+
+
+def render_batch_at(seeds: np.ndarray, pixel_idx: np.ndarray) -> np.ndarray:
+    """(n_rows,) seeds × (m,) pixel indices → (n_rows, m) uint8.
+
+    Random access: pixel j is byte (j mod 8) of hash word (j div 8) —
+    identical values to the corresponding columns of render_batch."""
+    keys = _mix64(np.asarray(seeds, dtype=_U64))
+    idx = np.asarray(pixel_idx, dtype=_U64)
+    ctr = (idx // _U64(8) + _U64(1)) * _GOLDEN
+    shift = (idx % _U64(8)) * _U64(8)
+    words = _mix64(keys[:, None] ^ ctr[None, :])
+    return ((words >> shift[None, :]) & _U64(0xFF)).astype(np.uint8)
+
+
+def _noise_words(seeds: np.ndarray) -> np.ndarray:
+    return _mix64(np.asarray(seeds, dtype=_U64) ^ _NOISE_SALT)
+
+
+def noise_batch(
+    seeds: np.ndarray, n_pixels: int, amp: int, slot: str | None = None
+) -> np.ndarray:
+    """(n_rows, n_pixels) int16 uniform noise in [-amp, amp]."""
+    n_words = (n_pixels + 7) // 8
+    keys = _noise_words(seeds)
+    ctr = np.arange(1, n_words + 1, dtype=_U64) * _GOLDEN
+    if slot is None:
+        words = _mix64(keys[:, None] ^ ctr[None, :])
+    else:
+        words = _hash_words(keys, ctr, slot)
+    b = _words_to_bytes(words, n_pixels)
+    span = 2 * amp + 1
+    if slot is None:
+        return (b % np.uint8(span)).astype(np.int16) - np.int16(amp)
+    out = _pool_buf(slot + "_i16", b.size, np.int16).reshape(b.shape)
+    np.mod(b, np.uint8(span), out=b)
+    np.subtract(b, np.uint8(amp), out=out, dtype=np.int16, casting="unsafe")
+    return out
+
+
+def noise_batch_at(
+    seeds: np.ndarray, pixel_idx: np.ndarray, amp: int
+) -> np.ndarray:
+    """Sampled-index variant of noise_batch (same values per index)."""
+    keys = _noise_words(seeds)
+    idx = np.asarray(pixel_idx, dtype=_U64)
+    ctr = (idx // _U64(8) + _U64(1)) * _GOLDEN
+    shift = (idx % _U64(8)) * _U64(8)
+    words = _mix64(keys[:, None] ^ ctr[None, :])
+    b = ((words >> shift[None, :]) & _U64(0xFF)).astype(np.uint8)
+    span = 2 * amp + 1
+    return (b % np.uint8(span)).astype(np.int16) - np.int16(amp)
+
+
 def render(seed: int, w: int, h: int) -> np.ndarray:
     """Deterministic (h, w) uint8 image for a pixel seed."""
-    rng = np.random.Generator(np.random.PCG64(seed))
-    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    return render_batch(np.array([seed], dtype=np.uint64), w * h)[0].reshape(h, w)
 
 
 def decode(payload: bytes) -> tuple[str, int, int, np.ndarray]:
@@ -62,10 +217,9 @@ def decode(payload: bytes) -> tuple[str, int, int, np.ndarray]:
         raise ValueError(f"undecodable payload: {e}") from e
     img = render(seed, w, h)
     if amp:
-        noise_rng = np.random.Generator(np.random.PCG64(seed ^ 0x5EED))
-        noisy = img.astype(np.int16) + noise_rng.integers(
-            -amp, amp + 1, size=img.shape, dtype=np.int16
-        )
+        noisy = img.astype(np.int16) + noise_batch(
+            np.array([seed], dtype=np.uint64), w * h, amp
+        )[0].reshape(h, w)
         return fmt, w, h, np.clip(noisy, 0, 255).astype(np.uint8)
     return fmt, w, h, img
 
@@ -80,6 +234,10 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if a.shape != b.shape:
         return 0.0
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return psnr_from_mse(float(mse))
+
+
+def psnr_from_mse(mse: float) -> float:
     if mse == 0:
         return float("inf")
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)

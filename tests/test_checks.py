@@ -65,8 +65,30 @@ def test_codec_roundtrip_and_psnr():
     assert 40.0 <= codec.psnr(px, ref) < 60.0
     _, _, _, px = codec.decode(corrupt)
     assert codec.psnr(px, ref) < 15.0
+    # mid-band noise decodes fine but fails the 40 dB gate — the
+    # threshold discriminates, not just separates extremes
+    midband = f"PDVS1|jpeg|64|48|{seed}|{codec.MIDBAND_NOISE_AMP}".encode()
+    _, _, _, px = codec.decode(midband)
+    assert 30.0 < codec.psnr(px, ref) < 40.0
     with pytest.raises(ValueError):
         codec.decode(b"JUNKJUNKJUNK")
+
+
+def test_codec_batch_matches_single():
+    """render_batch / render_batch_at / noise_batch agree with decode()."""
+    import numpy as np
+
+    seeds = np.array([codec.ref_seed_py(f"img-{i:012d}") for i in range(5)],
+                     dtype=np.uint64)
+    full = codec.render_batch(seeds, 300)
+    for i in range(5):
+        single = codec.render(int(seeds[i]), 20, 15).ravel()
+        assert (full[i] == single).all()
+    idx = np.array([0, 1, 7, 8, 77, 299], dtype=np.uint64)
+    assert (codec.render_batch_at(seeds, idx) == full[:, idx]).all()
+    noise = codec.noise_batch(seeds, 300, 1)
+    assert (codec.noise_batch_at(seeds, idx, 1) == noise[:, idx]).all()
+    assert set(np.unique(noise)) <= {-1, 0, 1}
 
 
 def test_column_stats(spark, images):
@@ -146,6 +168,42 @@ def test_integrity(spark, images):
     _, _, _, px = codec.decode(row["bytes"])
     ref = codec.decode_reference(row["image_id"], row["w"], row["h"])
     assert codec.psnr(px, ref) < 40.0
+
+
+def test_integrity_sampled_mode_matches_exact(spark, images):
+    """pixel_sample + escalation finds the same violations as exact mode
+    (violations are always confirmed full-pixel; see integrity.py)."""
+    exact = integrity_violations(
+        images, logical_partition("image_id"), expected_caption("image_id")
+    ).collect()
+    sampled = integrity_violations(
+        images, logical_partition("image_id"), expected_caption("image_id"),
+        pixel_sample=2048,
+    ).collect()
+    key = lambda r: (r["image_id"], r["column"], r["detail"])  # noqa: E731
+    assert sorted(map(key, exact)) == sorted(map(key, sampled))
+
+
+def test_integrity_flags_midband_lossy(spark):
+    """A lossy payload with PSNR in (30, 40) dB decodes fine but must be
+    rejected by the 40 dB gate — and pass a 30 dB gate."""
+    iid = "img-midband-000001"
+    seed = codec.ref_seed_py(iid)
+    payload = f"PDVS1|jpeg|16|12|{seed}|{codec.MIDBAND_NOISE_AMP}".encode()
+    df = spark.createDataFrame(
+        [(iid, bytearray(payload), 16, 12, "jpeg", "a photo", 1)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    v40 = integrity_violations(
+        df, logical_partition("image_id"), F.lit("a photo")
+    ).collect()
+    assert len(v40) == 1 and "psnr" in v40[0]["detail"]
+    v30 = integrity_violations(
+        df, logical_partition("image_id"), F.lit("a photo"),
+        psnr_threshold=30.0,
+    ).collect()
+    assert v30 == []
 
 
 def test_schema_violations_clean_and_dirty(spark, images):
