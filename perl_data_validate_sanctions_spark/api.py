@@ -43,6 +43,7 @@ class SanctionsValidator:
         self.spark = spark
         self.sanction_path = sanction_path or os.environ.get("SANCTION_FILE")
         self._entries = entries
+        self._state: DataFrame | None = None
         self._last_load = 0.0
         self._last_mtime = 0.0
 
@@ -69,49 +70,150 @@ class SanctionsValidator:
     def data(self) -> DataFrame:
         return self._load_data()
 
-    def update_data(self, fetched_entries: DataFrame, now: int | None = None):
+    # --- state persistence (the Redis.pm per-source {updated, verified,
+    #     error} hashes, kept as a tiny parquet beside the snapshot) ---
+
+    @property
+    def _state_path(self) -> str | None:
+        return self.sanction_path + ".state" if self.sanction_path else None
+
+    def _load_state(self) -> DataFrame | None:
+        if self._state is not None:
+            return self._state
+        sp = self._state_path
+        if sp and os.path.exists(sp):
+            self._state = self.spark.read.parquet(sp)
+        return self._state
+
+    def _publish_parquet(self, df: DataFrame, path: str) -> DataFrame:
+        """Crash-safe publish: write a versioned directory, then swap a
+        symlink into place (rename(2) over a symlink is atomic — the
+        analog of the reference's rename() over the YAML file,
+        Sanctions.pm:384-395). A reader never observes a missing or
+        half-written dataset; a crash leaves either the old or the new
+        version live, plus at worst an orphaned version dir."""
+        import shutil
+
+        version = f"{path}.v{time.time_ns()}"
+        df.write.mode("overwrite").parquet(version)
+        tmp_link = f"{path}.lnk.tmp"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(os.path.abspath(version), tmp_link)
+        old_target = None
+        if os.path.islink(path):
+            old_target = os.path.realpath(path)
+        elif os.path.isdir(path):
+            # legacy plain-dir snapshot: move it aside (recoverable if
+            # we crash mid-swap), then link — never rmtree-first
+            old_target = f"{path}.old.{time.time_ns()}"
+            os.rename(path, old_target)
+        os.rename(tmp_link, path)  # atomic: replaces file/symlink
+        if old_target and os.path.isdir(old_target):
+            shutil.rmtree(old_target, ignore_errors=True)
+        return self.spark.read.schema(df.schema).parquet(path)
+
+    def update_data(
+        self,
+        fetched_entries: DataFrame,
+        now: int | None = None,
+        updated_by_source: dict[str, int] | None = None,
+        errors_by_source: dict[str, str] | None = None,
+    ) -> DataFrame:
         """Per-source merge/diff (U1): replace sources whose updated
-        timestamp or entry count changed; returns the per-source
-        decision table."""
+        timestamp or entry count changed; record/clear per-source
+        errors; stamp ``verified``; persist both the entries snapshot
+        and the per-source state table. Returns the decision table.
+
+        ``updated_by_source`` carries the feeds' publish epochs (the
+        parsers' ``updated`` return); ``errors_by_source`` marks feeds
+        whose fetch/parse failed (their old content is KEPT and the
+        error recorded, Sanctions.pm:59-66)."""
+        from pyspark.sql import functions as F
+
         from .streaming.incremental import merge_source_states, source_state
 
         current = self._load_data()
-        decisions = merge_source_states(
-            source_state(current), source_state(fetched_entries), now=now
-        )
-        take = [
-            r["source"] for r in decisions.collect() if r["take_new"]
-        ]
-        if take:
-            from pyspark.sql import functions as F
+        cur_state = self._load_state()
+        if cur_state is None:
+            cur_state = source_state(current)
+        new_state = source_state(fetched_entries)
+        if updated_by_source:
+            pairs = [x for kv in updated_by_source.items() for x in kv]
+            stamp = F.coalesce(
+                F.create_map(*[F.lit(x) for x in pairs])[F.col("source")],
+                F.col("updated"),
+            )
+            new_state = new_state.withColumn("updated", stamp.cast("long"))
+        if errors_by_source:
+            # an errored feed contributes no entry rows, so its state
+            # row must be synthesized for the merge to record the error
+            err_rows = self.spark.createDataFrame(
+                [(s, 0, 0, None, msg) for s, msg in errors_by_source.items()],
+                "source string, updated long, n_entries long, "
+                "content_hash string, error string",
+            )
+            new_state = new_state.filter(
+                ~F.col("source").isin(list(errors_by_source))
+            ).unionByName(err_rows)
+        decisions = merge_source_states(cur_state, new_state, now=now)
 
+        # materialize driver-side BEFORE the snapshot swap: the decision
+        # plan reads the OLD parquet version, which the swap deletes
+        rows = decisions.collect()
+        decisions = self.spark.createDataFrame(rows, decisions.schema)
+        take = [r["source"] for r in rows if r["take_new"]]
+        if take:
             kept = current.filter(~F.col("source").isin(take))
             new = fetched_entries.filter(F.col("source").isin(take))
             self._entries = kept.unionByName(new)
             if self.sanction_path:
-                tmp = self.sanction_path + ".tmp"
-                self._entries.write.mode("overwrite").parquet(tmp)
-                # atomic publish analog (Sanctions.pm:384-395); parquet
-                # dir rename is atomic on posix
-                if os.path.exists(self.sanction_path):
-                    import shutil
-
-                    shutil.rmtree(self.sanction_path)
-                os.rename(tmp, self.sanction_path)
-                self._entries = self.spark.read.schema(ENTRY_SCHEMA).parquet(
-                    self.sanction_path
+                self._entries = self._publish_parquet(
+                    self._entries, self.sanction_path
                 )
+                self._last_mtime = os.path.getmtime(self.sanction_path)
+        self._state = decisions.drop("changed", "take_new")
+        if self._state_path:
+            self._state = self._publish_parquet(self._state, self._state_path)
         return decisions
 
     def last_updated(self, source: str | None = None) -> int | None:
+        """max(updated) across sources, or the named source's updated
+        epoch (Sanctions.pm:92-102). 0 for data that has never been
+        through update_data (the reference's default for a missing
+        field); None for an unknown source."""
         from pyspark.sql import functions as F
 
-        df = self._load_data()
+        from .streaming.incremental import last_updated as _lu
+
+        state = self._load_state()
+        if state is None:
+            from .streaming.incremental import source_state
+
+            state = source_state(self._load_data())
         if source:
-            df = df.filter(F.col("source") == source)
-        # entries carry no per-row updated; the state table does — this
-        # facade derives it from the checkpointed state when present
-        return None if df.isEmpty() else 0
+            row = state.filter(F.col("source") == source).select(
+                "updated"
+            ).collect()
+            return int(row[0]["updated"]) if row else None
+        m = _lu(state)
+        return int(m) if m is not None else None
+
+    def source_status(self) -> DataFrame:
+        """Per-source (source, updated, n_entries, error, verified) —
+        the Redis backend's reader-visible staleness/error view
+        (Redis.pm:66-88). Derived (updated=0, no verified) until the
+        first update_data persists real state."""
+        state = self._load_state()
+        if state is None:
+            from pyspark.sql import functions as F
+
+            from .streaming.incremental import source_state
+
+            state = source_state(self._load_data()).withColumn(
+                "verified", F.lit(None).cast("long")
+            )
+        return state
 
     def export_data(self, path: str) -> None:
         """S13 (Sanctions.pm:439-443): dump the dataset."""

@@ -9,9 +9,13 @@ Two-phase salted aggregation:
            over ``n_salts`` reducers instead of melting one;
   phase 2: groupBy(key) sum of partials — input is ≤ n_salts rows/key.
 
-The salt is ``pmod(xxhash64(<whole row identity>), n_salts)`` so rows of
-the same key land on different reducers deterministically. Violation
-rows are recovered with a broadcast semi-join of the (small) duplicate
+The salt is ``pmod(monotonically_increasing_id(), n_salts)`` — row
+position, not row content: it reads NO data columns (a content hash
+over all columns would drag the 100 TB ``bytes`` payload into what is
+otherwise a two-narrow-column scan), and it splits even bit-identical
+duplicate rows across reducers (a content-derived salt sends identical
+rows to the SAME reducer — failing exactly for planted full-row dups).
+Violation rows are recovered with a semi-join of the (small) duplicate
 key set back against the table — the 10^12-row side never shuffles.
 """
 
@@ -25,7 +29,9 @@ from ..schema import VIOLATION_SCHEMA
 
 def duplicate_keys(df: DataFrame, key_col: str, n_salts: int = 64) -> DataFrame:
     """Keys appearing more than once: (key, n_occurrences)."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    # position-derived salt: column-free (never scans `bytes`) and
+    # splits identical rows — see module docstring
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     partial = (
         df.select(F.col(key_col).alias("key"), salt.alias("__salt"))
         .groupBy("key", "__salt")

@@ -29,6 +29,21 @@ def main(argv: list[str] | None = None) -> int:
     p_synth.add_argument("--out", required=True)
     p_synth.add_argument("--partitions", type=int, default=None)
 
+    p_upd = sub.add_parser(
+        "update",
+        help="fetch/parse sanction feeds and merge into the snapshot "
+             "(the reference's bin/update_sanctions_csv)",
+    )
+    p_upd.add_argument(
+        "--feed", action="append", default=[], metavar="SOURCE=PATH",
+        help="e.g. --feed OFAC-SDN=/data/sdn.xml (repeatable; sources: "
+             "OFAC-SDN OFAC-Consolidated HMT-Sanctions EU-Sanctions "
+             "UNSC-Sanctions MOHA-Sanctions)",
+    )
+    p_upd.add_argument("--snapshot", required=True,
+                       help="entries snapshot parquet path (published "
+                            "atomically; per-source state kept beside it)")
+
     p_val = sub.add_parser("validate", help="run the full validation suite")
     p_val.add_argument("--input", help="parquet path of the images table")
     p_val.add_argument("--synth-rows", type=int, help="or generate N rows")
@@ -52,6 +67,55 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.out)
         print(json.dumps({"written": args.out, "rows": args.rows}))
+        return 0
+
+    if args.cmd == "update":
+        import os
+
+        from .api import SanctionsValidator
+        from .sources.parsers import fetch_sources
+
+        feeds = {}
+        for spec in args.feed:
+            source, _, path = spec.partition("=")
+            if not path:
+                p.error(f"--feed needs SOURCE=PATH, got {spec!r}")
+            feeds[source] = path
+        from .schema import ENTRY_SCHEMA
+
+        fetched, updated_by_source, errors = fetch_sources(spark, feeds)
+        v = SanctionsValidator(spark, sanction_path=args.snapshot)
+        if not os.path.exists(args.snapshot):
+            if fetched is None:
+                print(json.dumps({"error": "no feed parsed and no "
+                                           "existing snapshot",
+                                  "feeds": errors}))
+                return 1
+            # a fresh snapshot starts EMPTY (never from the bundled
+            # fallback dataset — that's for read paths only)
+            v._entries = spark.createDataFrame([], ENTRY_SCHEMA)
+        if fetched is None:
+            fetched = spark.createDataFrame([], ENTRY_SCHEMA)
+        decisions = v.update_data(
+            fetched,
+            updated_by_source=updated_by_source,
+            errors_by_source=errors or None,
+        )
+        out = {
+            "snapshot": args.snapshot,
+            "n_entries": v.data().count(),
+            "last_updated": v.last_updated(),
+            "sources": {
+                r["source"]: {
+                    "updated": r["updated"],
+                    "n_entries": r["n_entries"],
+                    "changed": bool(r["changed"]),
+                    "error": r["error"],
+                }
+                for r in decisions.collect()
+            },
+        }
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "validate":

@@ -133,16 +133,31 @@ def date_to_epoch(col: Column | str) -> Column:
     return _let(raw, body)
 
 
+def _epoch_day(c: Column) -> Column:
+    """epoch seconds → DateType via pure date arithmetic. Deliberately
+    NOT timestamp_seconds(..).cast('date'), which resolves in the
+    SESSION timezone: under e.g. America/New_York that shifts every
+    UTC-midnight epoch to the previous civil day, silently breaking the
+    dob_year tier (the reference's Date::Utility is GMT-based).
+    floor-division keeps pre-1970 epochs on the correct day."""
+    return F.date_add(
+        F.to_date(F.lit("1970-01-01")),
+        F.floor(c / F.lit(86400)).cast("int"),
+    )
+
+
 def epoch_to_date(col: Column | str) -> Column:
-    """``_epoch_to_date`` (Fetcher.pm:928-939): epoch → 'YYYY-MM-DD' (UTC)."""
+    """``_epoch_to_date`` (Fetcher.pm:928-939): epoch → 'YYYY-MM-DD',
+    GMT-based regardless of the session timezone."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.date_format(F.timestamp_seconds(c), "yyyy-MM-dd")
+    return F.date_format(_epoch_day(c), "yyyy-MM-dd")
 
 
 def epoch_year(col: Column | str) -> Column:
-    """Year of an epoch at UTC (probe-side dob_year, Sanctions.pm:276)."""
+    """Year of an epoch at UTC (probe-side dob_year, Sanctions.pm:276),
+    timezone-free (see _epoch_day)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.year(F.timestamp_seconds(c).cast("date"))
+    return F.year(_epoch_day(c))
 
 
 # --- classification (_process_sanction_entry, Fetcher.pm:205-226) ---

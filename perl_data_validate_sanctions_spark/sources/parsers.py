@@ -435,7 +435,16 @@ def parse_eu_xml(
         ).alias("citizen"),
         _nz(F.transform(addr, lambda a: a["_countryIso2Code"])).alias("residence"),
         _nz(
-            F.transform(addr, lambda a: F.coalesce(a["_zipCode"], a["_poBox"]))
+            # Perl falsiness (Fetcher.pm `-zipCode || -poBox`): an EMPTY
+            # zipCode also falls back to poBox — coalesce alone would
+            # keep the '' and lose the poBox
+            F.transform(
+                addr,
+                lambda a: F.when(
+                    a["_zipCode"].isNotNull() & (a["_zipCode"] != ""),
+                    a["_zipCode"],
+                ).otherwise(a["_poBox"]),
+            )
         ).alias("postal_code"),
         _nz(F.transform(idents, lambda i: i["_countryIso2Code"])).alias(
             "nationality"
@@ -716,3 +725,57 @@ def parse_ofac_xml_zip(
             out.write(zf.read(inner))
             tmp_path = out.name
     return parse_ofac_xml(spark, tmp_path, source=source)
+
+
+# ----------------------------------------------------------- registry ---
+
+# source-name → parser (the Fetcher.pm config table, Fetcher.pm:60-131);
+# each callable is (spark, path) → (updated_epoch, entries_df). Zipped
+# OFAC feeds dispatch on the .zip extension like the reference's
+# is_zipped flag.
+def _ofac(src):
+    def run(spark, path):
+        fn = parse_ofac_xml_zip if path.endswith(".zip") else parse_ofac_xml
+        return fn(spark, path, source=src)
+    return run
+
+
+PARSER_REGISTRY = {
+    "OFAC-SDN": _ofac("OFAC-SDN"),
+    "OFAC-Consolidated": _ofac("OFAC-Consolidated"),
+    "HMT-Sanctions": lambda spark, path: parse_hmt_csv(spark, path),
+    "EU-Sanctions": lambda spark, path: parse_eu_xml(spark, path),
+    "UNSC-Sanctions": lambda spark, path: parse_unsc_xml(spark, path),
+    "MOHA-Sanctions": lambda spark, path: parse_moha_xml(spark, path),
+}
+
+
+def fetch_sources(
+    spark: SparkSession, feeds: dict[str, str]
+) -> tuple[DataFrame | None, dict[str, int], dict[str, str]]:
+    """Run the registered parser for each (source → path/url) feed with
+    per-source error isolation (Fetcher.pm:830-859: one bad feed never
+    aborts the run). Returns (union_of_entries, updated_by_source,
+    errors_by_source) — exactly the update_data() inputs."""
+    dfs: list[DataFrame] = []
+    updated: dict[str, int] = {}
+    errors: dict[str, str] = {}
+    for source, path in feeds.items():
+        parser = PARSER_REGISTRY.get(source)
+        if parser is None:
+            errors[source] = f"no parser registered for {source!r}"
+            continue
+        try:
+            upd, df = parser(spark, path)
+            # force the parse eagerly so malformed feeds fail HERE,
+            # inside this source's try, not downstream in the merge
+            n = df.count()
+            dfs.append(df)
+            updated[source] = int(upd) if upd is not None else 0
+            _ = n
+        except Exception as e:  # noqa: BLE001 - per-source isolation
+            errors[source] = f"{type(e).__name__}: {e}"
+    union = None
+    for df in dfs:
+        union = df if union is None else union.unionByName(df)
+    return union, updated, errors

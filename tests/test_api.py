@@ -54,6 +54,74 @@ def test_update_data_and_export(spark, tmp_path_factory):
     assert spark.read.parquet(out).count() == v.data().count()
 
 
+def test_last_updated_roundtrip_and_source_status(spark, tmp_path_factory):
+    """Sanctions.pm:92-102: last_updated is max(updated) across sources
+    (or the named source's); the stamped publish epoch must round-trip
+    update_data → persisted state → last_updated, including through a
+    fresh validator instance."""
+    path = str(tmp_path_factory.mktemp("lu") / "entries.parquet")
+    v = SanctionsValidator(spark, sanction_path=path)
+    base = synth_entries(spark, n_extra=5)
+    base.write.mode("overwrite").parquet(path)
+    v._last_load = 0
+
+    stamps = {"EU-Sanctions": 1690000000, "HMT-Sanctions": 1700000123}
+    v.update_data(base, updated_by_source=stamps,
+                  errors_by_source={"MOHA-Sanctions": "timeout fetching"})
+    assert v.last_updated() == 1700000123
+    assert v.last_updated("EU-Sanctions") == 1690000000
+    assert v.last_updated("no-such-source") is None
+
+    status = {r["source"]: r for r in v.source_status().collect()}
+    assert status["MOHA-Sanctions"]["error"] == "timeout fetching"
+    assert status["EU-Sanctions"]["error"] is None
+    assert status["EU-Sanctions"]["verified"] > 0
+
+    # persisted: a brand-new validator sees the same state
+    v2 = SanctionsValidator(spark, sanction_path=path)
+    assert v2.last_updated() == 1700000123
+    # a later successful fetch clears the error (Sanctions.pm:66-70)
+    v2._last_load = 0
+    v2.update_data(base.filter(F.col("source") == "MOHA-Sanctions"),
+                   updated_by_source={"MOHA-Sanctions": 1710000000})
+    status2 = {r["source"]: r for r in v2.source_status().collect()}
+    assert status2["MOHA-Sanctions"]["error"] is None
+    assert v2.last_updated() == 1710000000
+    # the snapshot is now a symlinked versioned dir; readers never see
+    # a missing path mid-publish
+    import os
+
+    assert os.path.islink(path) and os.path.isdir(os.path.realpath(path))
+
+
+def test_cli_update_twice_second_is_noop(spark, tmp_path_factory, capsys):
+    """bin/update_sanctions_csv analog (xt/20_update.t:53-65): update
+    from feed files, then rerun — the second run must change nothing."""
+    import json
+
+    from perl_data_validate_sanctions_spark.cli import main
+
+    snap = str(tmp_path_factory.mktemp("cliupd") / "entries.parquet")
+    fixtures = "tests/data"
+    argv = [
+        "update", "--snapshot", snap,
+        "--feed", f"OFAC-SDN={fixtures}/ofac.xml",
+        "--feed", f"HMT-Sanctions={fixtures}/hmt.csv",
+        "--feed", f"EU-Sanctions={fixtures}/eu.xml",
+    ]
+    assert main(argv) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["n_entries"] > 0
+    assert all(s["changed"] for s in first["sources"].values())
+    assert first["last_updated"] > 0  # parsers' publish epochs stamped
+
+    assert main(argv) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["n_entries"] == first["n_entries"]
+    assert not any(s["changed"] for s in second["sources"].values())
+    assert second["last_updated"] == first["last_updated"]
+
+
 def test_sanction_file_env_precedence(spark, tmp_path_factory, monkeypatch):
     """t/02_env.t:43-50: explicit path beats $SANCTION_FILE beats bundled."""
     from perl_data_validate_sanctions_spark.sources.synth import synth_entries

@@ -83,6 +83,27 @@ def test_epoch_to_date(spark):
     assert got == ["2022-12-31", "2021-01-01", "1960-01-01"]
 
 
+def test_epoch_functions_are_timezone_free(spark):
+    """Under a non-UTC session, epoch_year/epoch_to_date must still be
+    GMT-based (the reference's Date::Utility is) — a tz-shifted year
+    silently kills the dob_year match tier."""
+    from perl_data_validate_sanctions_spark.functions.dates import epoch_year
+
+    tz_key = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        # 1980-01-01T00:00Z is 1979-12-31 19:00 in New York — a session-
+        # tz implementation would answer 1979
+        got_y = _eval(spark, epoch_year("v"),
+                      [315532800, 0, -253411200], "long")
+        assert got_y == [1980, 1970, 1961]
+        got_d = _eval(spark, epoch_to_date("v"), [315532800, 0], "long")
+        assert got_d == ["1980-01-01", "1970-01-01"]
+    finally:
+        spark.conf.set(tz_key, old)
+
+
 # classification cases from Fetcher.pm:205-226 + t/04_fetcher.t goldens
 def test_classify_dob(spark):
     cases = [
