@@ -611,6 +611,23 @@ MOHA_ENTRY_SCHEMA = T.StructType(
 def parse_moha_xml(
     spark: SparkSession, path: str, source: str = "MOHA-Sanctions"
 ) -> tuple[int | None, DataFrame]:
+    """MOHA dispatcher (Fetcher.pm:561-579): the feed historically ships
+    in two shapes — the v2 ``xmlResponse`` format and the legacy
+    ``TaggedPDF-doc`` (Acrobat save-as-XML) format. The reference
+    dispatches on which root key the parsed hash contains; sniffing the
+    raw document head for the root element is the same test without a
+    full driver-side parse."""
+    local = path[7:] if path.startswith("file://") else path
+    with open(local, "rb") as fh:
+        head = fh.read(262144).decode("utf-8", "replace")
+    if "<xmlResponse" in head:
+        return parse_moha_xml_v2(spark, path, source=source)
+    return parse_moha_xml_legacy(spark, path, source=source, _head=head)
+
+
+def parse_moha_xml_v2(
+    spark: SparkSession, path: str, source: str = "MOHA-Sanctions"
+) -> tuple[int | None, DataFrame]:
     """MOHA v2 ``xmlResponse`` format (Fetcher.pm:587-669): each entry is
     a list of labelled fields; individuals carry '(6) Date of Birth';
     DOBs are every d.m.yyyy match; passports split on '/'.
@@ -702,6 +719,121 @@ def parse_moha_xml(
         F.lit(None).cast("array<string>").alias("passport_no"),
     )
     return None, _finish(ind_raw.unionByName(grp_raw), source)
+
+
+# legacy TaggedPDF-doc row: a TR holds TH cells then TD cells, each cell
+# one-or-more <P> text blocks (spark-xml folds single-or-array into the
+# declared array type, mirroring the reference's ref-eq-ARRAY juggling)
+_MOHA_CELL = T.ArrayType(
+    T.StructType([T.StructField("P", T.ArrayType(_S), True)])
+)
+MOHA_LEGACY_TBODY_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "TR",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("TH", _MOHA_CELL, True),
+                        T.StructField("TD", _MOHA_CELL, True),
+                    ]
+                )
+            ),
+            True,
+        )
+    ]
+)
+
+
+def parse_moha_xml_legacy(
+    spark: SparkSession,
+    path: str,
+    source: str = "MOHA-Sanctions",
+    _head: str | None = None,
+) -> tuple[int | None, DataFrame]:
+    """MOHA legacy ``TaggedPDF-doc`` format (Fetcher.pm:677-806): a PDF
+    table saved as tagged XML. Publish date comes from
+    ``<xmp:CreateDate>`` (the reference's three lookups all resolve the
+    same element; parse failure is fatal for the source,
+    Fetcher.pm:700-701). Rows are the ``<TR>`` children of each table's
+    ``<TBody>`` (``rowTag TBody`` — header rows living in ``<THead>``
+    never enter the scan, same as the reference's ``{'TBody'}{'TR'}``
+    access). Per row: cells are TH entries then TD entries
+    (Fetcher.pm:744-765); a FIRST row whose first cell starts '(1)' or
+    'No.' is a header and skipped (Fetcher.pm:715-740); rows with <11
+    cells are skipped; fields by position — name=2 (multi-<P> joined),
+    dob=5 (each <P> its own DOB), pob=6, other-names=7 (each <P> an
+    alias), nationality=8, passport=9 (NOT '/'-split, unlike v2),
+    id=10."""
+    import re
+
+    if _head is None:
+        local = path[7:] if path.startswith("file://") else path
+        with open(local, "rb") as fh:
+            _head = fh.read(262144).decode("utf-8", "replace")
+    m = re.search(r"<xmp:CreateDate>([^<]+)</xmp:CreateDate>", _head)
+    updated = None
+    if m:
+        updated = (
+            spark.range(1)
+            .select(date_to_epoch(F.lit(m.group(1))))
+            .collect()[0][0]
+        )
+    if not updated:
+        raise ValueError("Invalid or missing creation date in XML")
+
+    tbodies = (
+        spark.read.format("xml")
+        .option("rowTag", "TBody")
+        .schema(MOHA_LEGACY_TBODY_SCHEMA)
+        .load(path)
+    )
+    rows = tbodies.select(
+        F.posexplode(F.coalesce(F.col("TR"), F.array())).alias("pos", "row")
+    )
+    empty_cells = F.array().cast(_MOHA_CELL)
+    cells = F.concat(
+        F.coalesce(F.col("row.TH"), empty_cells),
+        F.coalesce(F.col("row.TD"), empty_cells),
+    )
+    rows = rows.select("pos", cells.alias("cells")).filter(
+        F.size("cells") >= 11  # Fetcher.pm:767
+    )
+
+    def ptexts(i: int):
+        """cell i's <P> texts, trimmed, empties dropped."""
+        return _nz(
+            F.transform(
+                F.coalesce(
+                    F.element_at(F.col("cells"), i + 1)["P"],
+                    F.array().cast("array<string>"),
+                ),
+                lambda p: F.trim(F.coalesce(p, F.lit(""))),
+            )
+        )
+
+    def ptext(i: int):
+        """cell i as one string (multi-<P> joined, Fetcher.pm:784)."""
+        return F.array_join(ptexts(i), " ")
+
+    first_cell = ptext(0)
+    # header row: FIRST row of its table only (Fetcher.pm:715-740)
+    rows = rows.filter(
+        ~((F.col("pos") == 0) & first_cell.rlike(r"^\(1\)|^No\."))
+    )
+
+    raw = rows.select(
+        F.concat(F.array(ptext(2)), ptexts(7)).alias("names"),
+        ptexts(5).alias("date_of_birth"),
+        F.array(ptext(6)).alias("place_of_birth"),
+        F.lit(None).cast("array<string>").alias("residence"),
+        F.array(ptext(8)).alias("nationality"),
+        F.lit(None).cast("array<string>").alias("citizen"),
+        F.lit(None).cast("array<string>").alias("postal_code"),
+        _nz(F.array(ptext(10))).alias("national_id"),
+        _nz(F.array(ptext(9))).alias("passport_no"),
+    )
+    return updated, _finish(raw, source)
 
 
 # ---------------------------------------------------------------- zip ---

@@ -119,3 +119,33 @@ def test_moha(spark):
     assert a["national_id"] == ["701012-02-5552"]
     g = rows["SOME GROUP"]
     assert g["names"] == ["SOME GROUP", "SG"]  # '-' other-name dropped
+
+
+def test_moha_legacy(spark):
+    """The legacy TaggedPDF-doc format, pinned against the reference's
+    own sample feed and golden assertions (t/04_fetcher.t:467-494);
+    parse_moha_xml must dispatch to the legacy parser by root element
+    (Fetcher.pm:561-579)."""
+    updated, df = parse_moha_xml(
+        spark, "/root/reference/t/data/sample_moha.xml"
+    )
+    # publish date 2025-02-04T17:53:20+08:00 → epoch of 2025-02-04 UTC
+    assert updated == 1738627200
+    rows = df.collect()
+    assert len(rows) == 77  # t/04_fetcher.t:481
+
+    by_any_name = {}
+    for r in rows:
+        for n in r["names"]:
+            by_any_name[n] = r
+    zahar = by_any_name["Zahar bin Abdullah"]
+    assert zahar["names"] == ["Zahar bin Abdullah", "Abu Zahar"]
+    # found by alias too, same entry (t/04_fetcher.t:487)
+    assert by_any_name["Abu Zahar"] is zahar
+    assert zahar["dob_text"] == ["24.4.1981"]
+
+    # multiple <P> blocks in one DOB cell → multiple dob_text values
+    alhmidan = by_any_name["Mohamad Alsaied Alhmidan"]
+    assert alhmidan["dob_text"] == [
+        "20.2.1976", "13.2.1975", "15.2.1976", "7.1.1977"
+    ]
