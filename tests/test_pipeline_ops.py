@@ -90,6 +90,78 @@ def test_simhash(spark, docs):
     assert (0, 1) in pairs
 
 
+def test_simhash_blocking_is_exhaustive(spark, docs):
+    """Pigeonhole blocking (n_blocks = max_hamming+1) must find EXACTLY
+    the brute-force hamming≤k pair set — the round-1 single-prefix
+    blocker missed pairs differing inside the prefix."""
+    from perl_data_validate_sanctions_spark.operators.dedup import hamming64
+
+    for max_h in (3, 8, 16):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(docs, max_hamming=max_h).collect()
+        }
+        sigs = docs.select("doc_id", simhash64("text").alias("s"))
+        brute = {
+            (r["id_a"], r["id_b"], r["h"])
+            for r in (
+                sigs.alias("a")
+                .join(sigs.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(
+                    F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    hamming64(F.col("a.s"), F.col("b.s")).alias("h"),
+                )
+                .filter(F.col("h") <= max_h)
+            ).collect()
+        }
+        assert got == brute, f"max_hamming={max_h}"
+
+
+def test_simhash_md5_variant_matches_duckdb(spark, docs):
+    """The md5-60-bit simhash (the driver-gate oracle variant) must be
+    bit-identical between Spark and DuckDB."""
+    import duckdb
+
+    from perl_data_validate_sanctions_spark.operators.dedup import md5_hash60
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    spark_sigs = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            simhash64("text", n_bits=60, token_hash=md5_hash60).alias("s"),
+        ).collect()
+    }
+    hexparse = " + ".join(
+        f"(strpos('0123456789abcdef', substr(m, {i + 1}, 1)) - 1) "
+        f"* {16 ** (14 - i)}::BIGINT"
+        for i in range(15)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(60)
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    duck_sigs = dict(
+        con.sql(
+            f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS t FROM docs),
+            hashed AS (SELECT doc_id, ({hexparse}) AS h
+                       FROM (SELECT doc_id, md5(t) AS m FROM tok))
+            SELECT doc_id, ({sig_terms}) FROM hashed GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    for doc_id, sig in duck_sigs.items():
+        assert spark_sigs[doc_id] == sig, f"doc {doc_id}"
+
+
 def test_text_analysis(spark, docs):
     rows = {
         r["doc_id"]: r
