@@ -11,8 +11,45 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _per_query_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, vec_id, cosine) → top-k per query WITHOUT a per-query
+    window sort. A ``Window.partitionBy(query_id)`` sorts every scored
+    row for a query in ONE task — a single-reducer bottleneck at 10^12
+    rows. Instead: per-(query, input-partition) partial top-k via an
+    aggregate (map-side combine keeps ≤k rows per partition), then a
+    final per-query merge over ≤ k·P rows. Ordering matches
+    ``row_number() OVER (ORDER BY cosine DESC, vec_id)`` exactly:
+    structs sort ascending by (-cosine, vec_id)."""
+    item = F.struct(
+        (-F.col("cosine")).alias("negc"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("cosine").alias("cosine"),
+    )
+    partial = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("__p"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("top")
+        )
+    )
+    merged = (
+        partial.select("query_id", F.explode("top").alias("it"))
+        .groupBy("query_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("it")), 1, k).alias("top")
+        )
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "it")
+    ).select(
+        "query_id",
+        F.col("it.vec_id").alias("vec_id"),
+        F.col("it.cosine").alias("cosine"),
+        (F.col("pos") + 1).alias("rank"),
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -55,14 +92,7 @@ def brute_force_topk(
         .crossJoin(q)
         .withColumn("cosine", cosine(F.col("v"), F.col("qv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _per_query_topk(scored.select("query_id", "vec_id", "cosine"), k)
 
 
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
@@ -117,14 +147,7 @@ def lsh_ann_topk(
     scored = e.join(q, "bucket").withColumn(
         "cosine", cosine(F.col("v"), F.col("qv"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _per_query_topk(scored.select("query_id", "vec_id", "cosine"), k)
 
 
 def embedding_near_dup_pairs(
@@ -262,11 +285,89 @@ def ivf_ann_topk(
     scored = e.join(q, "bucket").withColumn(
         "cosine", cosine(F.col("v"), F.col("qv"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
+    return _per_query_topk(scored.select("query_id", "vec_id", "cosine"), k)
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the embeddings table written
+    partitioned by ``ivf_cluster`` (one directory per inverted list).
+    Probing then becomes a PARTITION FILTER — at 10^12 rows a query
+    touching n_probe of K clusters scans n_probe/K of the files and the
+    rest is pruned at planning time, never opened. (On a real warehouse
+    this is the Iceberg partition spec; parquet dir-partitioning is the
+    same contract.)"""
+    (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            _nearest_centroid(F.col(vec_col), centroids).alias("ivf_cluster"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("ivf_cluster")
+        .parquet(path)
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+
+
+def ivf_ann_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search against a written index with PHYSICAL partition
+    pruning: the union of all queries' probe clusters is computed
+    driver-side (queries are a small broadcast-scale set; centroid
+    distances are pure python on literals) and pushed as an ``isin``
+    partition predicate, so non-probed inverted lists never leave the
+    manifest. Per-query probe routing then joins as usual. Results are
+    identical to :func:`ivf_ann_topk` with the same parameters."""
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    ).collect()
+
+    def nearest(vec, n):
+        # sequential left-fold sum, same order as the Spark aggregate in
+        # _nearest_centroid/ivf_ann_topk → bit-identical probe choice
+        dists = []
+        for i, cent in enumerate(centroids):
+            d = 0.0
+            for x, c in zip(vec, cent):
+                d += (float(x) - c) * (float(x) - c)
+            dists.append((d, i))
+        return [i for _, i in sorted(dists)[:n]]
+
+    probe_map = {r["query_id"]: nearest(list(r["qv"]), n_probe) for r in q_rows}
+    probe_union = sorted({b for bs in probe_map.values() for b in bs})
+
+    e = spark.read.parquet(index_path).filter(
+        F.col("ivf_cluster").isin(probe_union)  # pruned at the scan
     )
+    q = F.broadcast(
+        spark.createDataFrame(
+            [
+                (r["query_id"], [float(x) for x in r["qv"]], b)
+                for r in q_rows
+                for b in probe_map[r["query_id"]]
+            ],
+            "query_id long, qv array<double>, ivf_cluster int",
+        )
+    )
+    scored = (
+        e.join(q, "ivf_cluster")
+        .withColumn(
+            "cosine",
+            cosine(F.col("embedding").cast("array<double>"), F.col("qv")),
+        )
+    )
+    return _per_query_topk(scored.select("query_id", "vec_id", "cosine"), k)

