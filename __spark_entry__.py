@@ -3,8 +3,9 @@
 ``entry(spark)`` smoke-runs the flagship tiered-match query on sf0.001.
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 over the driver-provided testdata tables; ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one (the
-MinHash/SimHash/LSH queries rely on xxhash64 and are rows-only checked).
+gives the DuckDB-equivalent SQL for EVERY query — including the
+MinHash/SimHash/LSH ones (banding-recall argument, md5-bit-parity
+signature, literal hyperplanes respectively; see each query docstring).
 
 Column names/aliases are kept identical between each Spark query and its
 oracle; float outputs are rounded on both sides; money is emitted in
@@ -573,6 +574,54 @@ FROM h GROUP BY source
 """
 
 
+def q_content_hash_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(1)-aggregation-state content hash (hashing.py
+    content_hash_agg_scalable, 'hexslice' mixer): sha256 over
+    (count, Σ slice1, Σ slice2) of per-row sha256 hashes — the variant
+    per-partition lineage uses at 10^12 rows, where the sorted
+    collect_list of q_content_hash would materialize billions of
+    strings per group. Order-insensitive by construction; the mixer's
+    hex slices are SQL-reproducible, so this one is fully
+    oracle-checked too."""
+    from perl_data_validate_sanctions_spark.functions.hashing import (
+        content_hash_agg_scalable,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    row_h = F.sha2(F.col("text").cast("binary"), 256)
+    return (
+        docs.select("source", row_h.alias("h"))
+        .groupBy("source")
+        .agg(
+            content_hash_agg_scalable("h", mixer="hexslice").alias(
+                "content_hash"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_HEXSLICE_1 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) "
+    f"* {16 ** (14 - i)}::BIGINT"
+    for i in range(15)
+)
+_HEXSLICE_2 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 16}, 1)) - 1) "
+    f"* {16 ** (14 - i)}::BIGINT"
+    for i in range(15)
+)
+_CONTENT_HASH_SCALABLE_ORACLE = f"""
+WITH h AS (SELECT source, sha256(text) AS h FROM documents),
+s AS (SELECT source, ({_HEXSLICE_1}) AS a, ({_HEXSLICE_2}) AS b FROM h)
+SELECT source,
+       sha256(count(*)::VARCHAR || '|' || sum(a)::VARCHAR || '|'
+              || sum(b)::VARCHAR) AS content_hash,
+       count(*) AS n_rows
+FROM s GROUP BY source
+"""
+
+
 def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 merge/diff semantics as a queryable operator: current state =
     sources excluding doc_id % 7 == 0 rows, fetched = full table →
@@ -873,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "drift_chi2_events": q_drift_chi2_events,
         "content_hash": q_content_hash,
+        "content_hash_scalable": q_content_hash_scalable,
         "incremental_merge": q_incremental_merge,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
@@ -906,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_ORACLE,
         "drift_chi2_events": _DRIFT_ORACLE,
         "content_hash": _CONTENT_HASH_ORACLE,
+        "content_hash_scalable": _CONTENT_HASH_SCALABLE_ORACLE,
         "incremental_merge": _MERGE_ORACLE,
         "ivf_ann_topk": _ANN_ORACLE,  # full-probe IVF ≡ brute force
         "curate_corpus": _CURATE_ORACLE,

@@ -44,18 +44,31 @@ def content_hash_agg(row_hash: Column | str) -> Column:
     return F.sha2(F.concat_ws("", F.sort_array(F.collect_list(c))), 256)
 
 
-def content_hash_agg_scalable(row_hash: Column | str) -> Column:
+def content_hash_agg_scalable(
+    row_hash: Column | str, mixer: str = "xxhash64"
+) -> Column:
     """Order-insensitive content hash with O(1) aggregation state:
-    sha256 over (count, Σ xxhash64(h, s1), Σ xxhash64(h, s2)) — two
-    independent 64-bit hash sums accumulated as decimal(38,0) (exact,
-    cannot overflow below ~10^18 rows, no ANSI throw path). Equal row
-    multisets ⇒ equal hash; collisions need simultaneous collisions in
-    two independent sums — far beyond change-detection needs. This is
-    what per-partition lineage uses at 10^12 rows, where collect_list
-    would materialize billions of strings per group."""
+    sha256 over (count, Σ mix1(h), Σ mix2(h)) — two independent 60-64
+    bit hash sums accumulated as decimal(38,0) (exact, cannot overflow
+    below ~10^18 rows, no ANSI throw path). Equal row multisets ⇒ equal
+    hash; collisions need simultaneous collisions in two independent
+    sums — far beyond change-detection needs. This is what per-partition
+    lineage uses at 10^12 rows, where collect_list would materialize
+    billions of strings per group.
+
+    ``mixer``: 'xxhash64' (default scale path) derives the two sums from
+    seeded xxhash64 of the row hash; 'hexslice' derives them from two
+    15-hex-char slices of the row hash itself — chosen because a plain
+    SQL engine (the DuckDB driver-gate oracle) can reproduce the slices
+    without xxhash64. The row hash is already sha256, so its hex slices
+    are two independent uniform 60-bit values — same collision algebra."""
     c = F.col(row_hash) if isinstance(row_hash, str) else row_hash
-    s1 = F.sum(F.xxhash64(c, F.lit(1)).cast("decimal(38,0)"))
-    s2 = F.sum(F.xxhash64(c, F.lit(2)).cast("decimal(38,0)"))
+    if mixer == "hexslice":
+        s1 = F.sum(F.conv(F.substring(c, 1, 15), 16, 10).cast("decimal(38,0)"))
+        s2 = F.sum(F.conv(F.substring(c, 16, 15), 16, 10).cast("decimal(38,0)"))
+    else:
+        s1 = F.sum(F.xxhash64(c, F.lit(1)).cast("decimal(38,0)"))
+        s2 = F.sum(F.xxhash64(c, F.lit(2)).cast("decimal(38,0)"))
     return F.sha2(
         F.concat_ws(
             "|",
