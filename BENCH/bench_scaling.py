@@ -15,10 +15,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cores: int, sf_dir: str) -> dict:
+def run_at(cores: int, sf_dir: str, n_rows: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cores)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    # suite-only (the north metric), at 4× the SF row count: with the
+    # production sampled-integrity mode the suite is short enough at
+    # SF=0.1 that the fixed JVM/codegen floor (~10-20 s, identical at
+    # both core counts) would dominate the small leg — a scaling
+    # measurement needs enough WORK per leg that the floor amortizes,
+    # same as sizing a per-executor workload on a real cluster.
+    env["PDVS_BENCH_SUITE_ONLY"] = "1"
+    env["PDVS_BENCH_ROWS"] = str(n_rows)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True, cwd=REPO,
@@ -31,9 +39,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_small = int(os.environ.get("PDVS_SCALE_N", "8"))
     n_big = 4 * n_small
+    n_rows = int(os.environ.get("PDVS_SCALE_ROWS", "2400000"))
 
-    small = run_at(n_small, sf_dir)
-    big = run_at(n_big, sf_dir)
+    small = run_at(n_small, sf_dir, n_rows)
+    big = run_at(n_big, sf_dir, n_rows)
 
     t_small = small["value"]
     t_big = big["value"]

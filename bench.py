@@ -80,6 +80,10 @@ def main() -> None:
     ref_keys = spark.createDataFrame([(p,) for p in PLACES], "key string")
 
     timings: dict[str, float] = {}
+    # PDVS_BENCH_SUITE_ONLY=1: time ONLY the full validation suite (the
+    # north metric) — used by BENCH/bench_scaling.py so the N-vs-4N legs
+    # measure the suite, not the fixed-size micro-query section
+    suite_only = os.environ.get("PDVS_BENCH_SUITE_ONLY") == "1"
 
     # warm-up (JIT/codegen) on a small slice, not timed
     run_suite(spark, images.limit(5000), entries, ref_keys)
@@ -96,6 +100,20 @@ def main() -> None:
                        pixel_sample=PIXEL_SAMPLE)
     timings["validate_full_suite"] = round(t_full, 3)
 
+    if suite_only:
+        print(json.dumps({
+            "metric": "full_validation_suite_wall_time",
+            "value": round(t_full, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            "images_rows": n_rows,
+            "images_per_sec": round(n_rows / t_full, 1),
+            "integrity_mode": "sampled4096+exact-escalation",
+            "cores": cpus,
+        }))
+        return
+
     native_checks = (
         "schema", "unique_image_id", "unique_phash", "referential",
         "sanctioned",
@@ -108,11 +126,14 @@ def main() -> None:
         run_suite(spark, images, entries, ref_keys, checks=arrow_checks,
                   pixel_sample=PIXEL_SAMPLE), 3
     )
-    # exact (every pixel of every image) integrity on a fixed 150k-row
-    # slice — the parity-mode cost, reported per-row-normalizable
+    # exact (every pixel of every image) integrity on a 150k-row table —
+    # the parity-mode cost, reported per-row-normalizable. NOT
+    # images.limit(): a limit collapses to one partition and would
+    # serialize the check onto a single core.
     exact_rows = min(150_000, n_rows)
+    exact_images = build_images(spark, exact_rows, cache_dir)
     timings["validate_integrity_exact_150k"] = round(
-        run_suite(spark, images.limit(exact_rows), entries, ref_keys,
+        run_suite(spark, exact_images, entries, ref_keys,
                   checks=("integrity",)), 3
     )
 

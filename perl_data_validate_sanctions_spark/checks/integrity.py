@@ -82,10 +82,15 @@ def _mse_rows(
     With ``pixel_idx`` set, only those pixel positions are rendered and
     compared (the sampled estimate); otherwise all ``n_pixels``."""
     if pixel_idx is not None:
-        dec = codec.render_batch_at(seeds, pixel_idx)
-        ref = codec.render_batch_at(ref_seeds, pixel_idx)
-        m = len(pixel_idx)
-        noise = codec.noise_batch_at(seeds, pixel_idx, amp) if amp else None
+        # pixel_idx holds WORD indices (aligned 8-pixel runs): one hash
+        # per 8 sampled pixels, same cost profile as the full render
+        dec = codec.render_batch_runs(seeds, pixel_idx, slot="integ_dec")
+        ref = codec.render_batch_runs(ref_seeds, pixel_idx, slot="integ_ref")
+        m = dec.shape[-1]
+        noise = (
+            codec.noise_batch_runs(seeds, pixel_idx, amp, slot="integ_noise")
+            if amp else None
+        )
     else:
         dec = codec.render_batch(seeds, n_pixels, slot="integ_dec")
         ref = codec.render_batch(ref_seeds, n_pixels, slot="integ_ref")
@@ -118,12 +123,16 @@ def _group_mse(
     idx = None
     per_row = n_pixels
     if pixel_sample is not None and pixel_sample < n_pixels:
-        # deterministic stratified sample: one pixel per stride window
+        # deterministic stratified sample of ALIGNED 8-pixel runs: one
+        # run per stride window over the full words (the ragged tail
+        # word, <8 px, is never sampled — at most 7 of w·h pixels)
+        n_runs = max(1, pixel_sample // 8)
+        n_words_full = max(1, n_pixels // 8)
         idx = np.unique(
-            (np.arange(pixel_sample, dtype=np.float64) * n_pixels
-             / pixel_sample).astype(np.int64)
+            (np.arange(min(n_runs, n_words_full), dtype=np.float64)
+             * n_words_full / min(n_runs, n_words_full)).astype(np.int64)
         ).astype(np.uint64)
-        per_row = len(idx)
+        per_row = len(idx) * 8
     rows_per_chunk = max(1, _CHUNK_PIXEL_BUDGET // per_row)
     out = np.empty(len(seeds), dtype=np.float64)
     for lo in range(0, len(seeds), rows_per_chunk):

@@ -27,26 +27,77 @@ FEATURE_SCHEMA = (
 )
 
 
+def _parse_headers(pdf: pd.DataFrame):
+    """Per-row header parse (µs each) → groups keyed by (w, h, amp) of
+    (row_idx, seed) pairs, mirroring checks/integrity.py. Undecodable
+    rows are silently skipped (the feature extractor's contract — the
+    integrity check is where bad payloads get FLAGGED)."""
+    groups: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
+    fmts: list[str | None] = []
+    for i, blob in enumerate(pdf["bytes"]):
+        fmts.append(None)
+        if blob is None:
+            continue
+        try:
+            p = bytes(blob).split(b"|")
+            if p[0] != codec.MAGIC or len(p) != 6:
+                continue
+            fmts[-1] = p[1].decode()
+            w, h, seed, amp = int(p[2]), int(p[3]), int(p[4]), int(p[5])
+        except Exception:  # noqa: BLE001 - skip undecodable rows
+            fmts[-1] = None
+            continue
+        groups.setdefault((w, h, amp), []).append((i, seed))
+    return groups, fmts
+
+
 def extract_image_features(df: DataFrame) -> DataFrame:
     """Per-image features (mean/std luminance, gradient energy) from the
     decoded pixels. One Arrow hop; emits only the feature row, never the
-    pixels."""
+    pixels. Rows group by (w, h, amp) and each group's pixels render as
+    ONE (rows, h, w) numpy block via the counter-based codec — per-row
+    Python is only the header parse. Swap codec.render_batch for a real
+    decoder to productionize (the decode step is then per-row again,
+    but the feature math stays batched)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids = pdf["image_id"].to_numpy(dtype=object)
+            groups, fmts = _parse_headers(pdf)
             out = []
-            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
-                try:
-                    fmt, w, h, px = codec.decode(blob)
-                except ValueError:
-                    continue
-                fpx = px.astype(np.float64)
-                gx = np.abs(np.diff(fpx, axis=1)).mean() if w > 1 else 0.0
-                gy = np.abs(np.diff(fpx, axis=0)).mean() if h > 1 else 0.0
-                out.append(
-                    (iid, fmt, w, h, float(fpx.mean()), float(fpx.std()),
-                     float(gx + gy))
-                )
+            for (w, h, amp), members in groups.items():
+                idxs = np.array([m[0] for m in members], dtype=np.int64)
+                seeds = np.array([m[1] for m in members], dtype=np.uint64)
+                # chunk rows to the codec's pixel budget
+                rows_per_chunk = max(1, 4_000_000 // (w * h))
+                for lo in range(0, len(idxs), rows_per_chunk):
+                    sub = slice(lo, lo + rows_per_chunk)
+                    px = codec.render_batch(seeds[sub], w * h, slot="mm_px")
+                    d16 = codec._pool_buf(
+                        "mm_d16", px.size, np.int16
+                    ).reshape(px.shape)
+                    d16[...] = px
+                    if amp:
+                        d16 += codec.noise_batch(
+                            seeds[sub], w * h, amp, slot="mm_noise"
+                        )
+                        np.clip(d16, 0, 255, out=d16)
+                    block = d16.reshape(-1, h, w)
+                    mean = block.mean(axis=(1, 2))
+                    std = block.std(axis=(1, 2))
+                    gx = (
+                        np.abs(np.diff(block, axis=2)).mean(axis=(1, 2))
+                        if w > 1 else np.zeros(len(mean))
+                    )
+                    gy = (
+                        np.abs(np.diff(block, axis=1)).mean(axis=(1, 2))
+                        if h > 1 else np.zeros(len(mean))
+                    )
+                    for j, i in enumerate(idxs[sub]):
+                        out.append(
+                            (ids[i], fmts[i], w, h, float(mean[j]),
+                             float(std[j]), float(gx[j] + gy[j]))
+                        )
             yield pd.DataFrame(
                 out,
                 columns=["image_id", "fmt", "w", "h", "mean_luma", "std_luma",

@@ -73,7 +73,18 @@ def run_validation(
     expected_caption_expr: Column | None = None,
     with_stats: bool = True,
     pixel_sample: int | None = None,
+    concurrent: bool = True,
 ) -> ValidationReport:
+    """Run the registered checks and roll violations into per-partition
+    verdicts.
+
+    ``concurrent`` (default): each check materializes as its OWN Spark
+    job from a driver thread pool (eager localCheckpoint), then the
+    union reads the checkpointed blocks. A single union-of-9-branches
+    job executes its AQE query stages largely sequentially, so suite
+    wall time degenerates to the SUM of branch latencies; concurrent
+    jobs share the task slots and bring it down to ~max(branch). Same
+    results by construction — only job boundaries change."""
     part = partition_expr if partition_expr is not None else logical_partition("image_id")
     exp_cap = (
         expected_caption_expr
@@ -151,6 +162,16 @@ def run_validation(
             .to(VIOLATION_SCHEMA)
         )
 
+    if concurrent and len(pieces) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # drift pieces share `cube` — materialize it once up front so
+        # concurrent branches don't race to compute the cached plan
+        cube.count()
+        with ThreadPoolExecutor(max_workers=len(pieces)) as ex:
+            pieces = list(
+                ex.map(lambda df: df.localCheckpoint(eager=True), pieces)
+            )
     if pieces:
         violations = pieces[0]
         for p in pieces[1:]:

@@ -160,6 +160,44 @@ def render_batch_at(seeds: np.ndarray, pixel_idx: np.ndarray) -> np.ndarray:
     return ((words >> shift[None, :]) & _U64(0xFF)).astype(np.uint8)
 
 
+def render_batch_runs(
+    seeds: np.ndarray, word_idx: np.ndarray, slot: str | None = None
+) -> np.ndarray:
+    """(n_rows,) seeds × (r,) word indices → (n_rows, r·8) uint8: the
+    pixels of the selected ALIGNED 8-pixel runs (word w covers pixels
+    [8w, 8w+8)), bit-identical to the corresponding columns of
+    render_batch. One hash per 8 sampled pixels — render_batch_at costs
+    one hash per single pixel, 8× the compute and traffic; stratified
+    run sampling is the bandwidth-sane estimator."""
+    keys = _mix64(np.asarray(seeds, dtype=_U64))
+    ctr = (np.asarray(word_idx, dtype=_U64) + _U64(1)) * _GOLDEN
+    if slot is None:
+        words = _mix64(keys[:, None] ^ ctr[None, :])
+    else:
+        words = _hash_words(keys, ctr, slot)
+    return _words_to_bytes(words, words.shape[-1] * 8)
+
+
+def noise_batch_runs(
+    seeds: np.ndarray, word_idx: np.ndarray, amp: int, slot: str | None = None
+) -> np.ndarray:
+    """Aligned-run variant of noise_batch (same values per position)."""
+    keys = _noise_words(seeds)
+    ctr = (np.asarray(word_idx, dtype=_U64) + _U64(1)) * _GOLDEN
+    if slot is None:
+        words = _mix64(keys[:, None] ^ ctr[None, :])
+    else:
+        words = _hash_words(keys, ctr, slot)
+    b = _words_to_bytes(words, words.shape[-1] * 8)
+    span = 2 * amp + 1
+    if slot is None:
+        return (b % np.uint8(span)).astype(np.int16) - np.int16(amp)
+    out = _pool_buf(slot + "_i16", b.size, np.int16).reshape(b.shape)
+    np.mod(b, np.uint8(span), out=b)
+    np.subtract(b, np.uint8(amp), out=out, dtype=np.int16, casting="unsafe")
+    return out
+
+
 def _noise_words(seeds: np.ndarray) -> np.ndarray:
     return _mix64(np.asarray(seeds, dtype=_U64) ^ _NOISE_SALT)
 

@@ -89,6 +89,13 @@ def test_codec_batch_matches_single():
     noise = codec.noise_batch(seeds, 300, 1)
     assert (codec.noise_batch_at(seeds, idx, 1) == noise[:, idx]).all()
     assert set(np.unique(noise)) <= {-1, 0, 1}
+    # aligned-run sampling: word w covers pixels [8w, 8w+8)
+    runs = np.array([0, 3, 36], dtype=np.uint64)
+    px_cols = np.concatenate(
+        [np.arange(8 * int(w), 8 * int(w) + 8) for w in runs]
+    )
+    assert (codec.render_batch_runs(seeds, runs) == full[:, px_cols]).all()
+    assert (codec.noise_batch_runs(seeds, runs, 1) == noise[:, px_cols]).all()
 
 
 def test_column_stats(spark, images):
