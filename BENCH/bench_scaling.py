@@ -28,6 +28,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -60,6 +61,22 @@ def kernel_mpx(n_procs: int) -> float:
     )
 
 
+def wait_for_machine(min_mpx: float = 650.0, max_wait_s: int = 1500) -> float:
+    """Block until the single-process kernel reaches its idle-machine
+    baseline (~720 Mpx/s). This VM is credit-throttled: after sustained
+    load the SAME kernel measures ~2× slower, which would put machine
+    state, not the engine, into the efficiency number. Returns the
+    last measured Mpx/s (recorded in the artifact either way)."""
+    import time as _t
+
+    deadline = _t.time() + max_wait_s
+    mpx = kernel_mpx(1)
+    while mpx < min_mpx and _t.time() < deadline:
+        _t.sleep(90)
+        mpx = kernel_mpx(1)
+    return mpx
+
+
 def run_at(cores: int, sf_dir: str, n_rows: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cores)
@@ -77,15 +94,23 @@ def run_at(cores: int, sf_dir: str, n_rows: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def span(n_small: int, n_rows: int, sf_dir: str) -> dict:
+def span(n_small: int, n_rows: int, sf_dir: str, attempts: int = 1) -> dict:
     n_big = 4 * n_small
-    # big leg FIRST: this VM is credit-throttled under sustained load
-    # (the same kernel measures ~2× slower after long runs), so giving
-    # the fresh credits to the big leg biases the efficiency DOWN —
-    # the conservative direction
-    big = run_at(n_big, sf_dir, n_rows)
-    small = run_at(n_small, sf_dir, n_rows)
-    raw = (small["value"] / big["value"]) / (n_big / n_small)
+    ready_mpx = wait_for_machine()
+    # Alternate big/small legs over `attempts` rounds and take the MIN
+    # wall per leg: this VM's noise (credit throttle, khugepaged, page
+    # cache) only ever ADDS time to a leg, so per-leg minima are the
+    # drift-robust estimator; every attempt is recorded. Big leg first
+    # each round (fresh credits to the big leg biases efficiency DOWN —
+    # the conservative direction).
+    bigs, smalls = [], []
+    big = small = None
+    for _ in range(max(1, attempts)):
+        big = run_at(n_big, sf_dir, n_rows)
+        small = run_at(n_small, sf_dir, n_rows)
+        bigs.append(big["value"])
+        smalls.append(small["value"])
+    raw = (min(smalls) / min(bigs)) / (n_big / n_small)
     k_small = kernel_mpx(n_small)
     k_big = kernel_mpx(n_big)
     ceiling = (k_big / k_small) / (n_big / n_small)
@@ -93,11 +118,14 @@ def span(n_small: int, n_rows: int, sf_dir: str) -> dict:
         "cores_small": n_small,
         "cores_big": n_big,
         "images_rows": n_rows,
-        "suite_sec_small": small["value"],
-        "suite_sec_big": big["value"],
+        "suite_sec_small": min(smalls),
+        "suite_sec_big": min(bigs),
+        "attempts_small": smalls,
+        "attempts_big": bigs,
         "images_per_sec_small": small["images_per_sec"],
         "images_per_sec_big": big["images_per_sec"],
         "raw_efficiency": round(raw, 3),
+        "machine_ready_kernel_mpxs_1proc": round(ready_mpx, 1),
         "machine_ceiling_kernel_mpxs": {
             str(n_small): round(k_small, 1), str(n_big): round(k_big, 1)
         },
@@ -110,20 +138,33 @@ def span(n_small: int, n_rows: int, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spans = {
-        # HEADLINE span: 1→4 cores. On this one-machine sandbox, few
-        # active cores ≈ independent executors (measured machine
-        # ceiling ~0.97 for this span), so the raw wall-clock number
-        # actually reflects the engine; rows sized 4× SF so the ~9 s
-        # scale-free driver/AQE floor amortizes on both legs.
-        "1_to_4": span(1, int(os.environ.get("PDVS_SCALE_ROWS", "2400000")),
-                       sf_dir),
+    out_path = os.path.join(REPO, "BENCH", "scaling.json")
+    # PDVS_SCALE_SPANS selects which spans to (re)measure; others are
+    # carried over from the existing artifact (each span is gated on
+    # machine readiness, so partial refresh is sound)
+    which = os.environ.get("PDVS_SCALE_SPANS", "8_to_32,1_to_4").split(",")
+    spans = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            spans = json.load(f).get("spans", {})
+    if "8_to_32" in which:
         # secondary span (the brief's local[8]/local[32] example): at
         # 8→32 active cores the machine itself caps wall-clock
-        # efficiency (~0.79 cache-resident ALU, ~0.63 DRAM-touching) —
-        # reported raw next to the measured ceiling + normalized.
-        "8_to_32": span(8, 9_600_000, sf_dir),
-    }
+        # efficiency (~0.79 for cache-resident ALU loops, ~0.63
+        # DRAM-touching) — reported raw next to the measured ceiling +
+        # normalized.
+        spans["8_to_32"] = span(8, 9_600_000, sf_dir)
+        time.sleep(120)
+    if "1_to_4" in which:
+        # HEADLINE span: 1→4 cores. On this one-machine sandbox, few
+        # active cores ≈ independent executors (measured machine
+        # ceiling ~0.93-0.97 when fresh), so the raw wall-clock number
+        # actually reflects the engine; rows sized 4× SF so the ~9 s
+        # scale-free driver/AQE floor amortizes on both legs.
+        spans["1_to_4"] = span(
+            1, int(os.environ.get("PDVS_SCALE_ROWS", "2400000")), sf_dir,
+            attempts=int(os.environ.get("PDVS_SCALE_ATTEMPTS", "2")),
+        )
     headline = spans["1_to_4"]
     result = {
         "sf_dir": sf_dir,
@@ -142,7 +183,7 @@ def main() -> None:
         "high_span_normalized":
             spans["8_to_32"]["normalized_efficiency"],
     }
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
 
