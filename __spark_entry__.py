@@ -536,14 +536,23 @@ WITH obs AS (
          CAST(count(*) AS DOUBLE) AS n
   FROM events GROUP BY 1, 2
 ), tot AS (SELECT v, sum(n) AS gn FROM obs GROUP BY v),
-own AS (SELECT pid, sum(n) AS no FROM obs GROUP BY pid),
-rest AS (SELECT o.pid, o.v, o.n, t.gn - o.n AS rn FROM obs o JOIN tot t USING (v)),
-rt AS (SELECT pid, sum(rn) AS rtot FROM rest GROUP BY pid)
+pids AS (SELECT DISTINCT pid FROM obs),
+-- full (pid × value) grid, absent values as own n=0: mirrors the
+-- engine's holdout construction (checks/drift.py drift_from_hist)
+grid AS (
+  SELECT p.pid, t.v, t.gn, COALESCE(o.n, 0) AS n
+  FROM pids p CROSS JOIN tot t
+  LEFT JOIN obs o ON o.pid = p.pid AND o.v = t.v
+),
+rest AS (SELECT pid, v, n, gn - n AS rn FROM grid),
+rt AS (SELECT pid, sum(rn) AS rtot FROM rest GROUP BY pid),
+own AS (SELECT pid, sum(n) AS no FROM grid GROUP BY pid)
 SELECT r.pid AS partition_id,
        round(sum(pow(r.n - (r.rn / rt.rtot) * ow.no, 2)
                  / ((r.rn / rt.rtot) * ow.no)), 4) AS statistic,
        CAST(ow.no AS BIGINT) AS n
 FROM rest r JOIN rt USING (pid) JOIN own ow USING (pid)
+WHERE r.rn > 0  -- the engine's zero-expected mask (chi2_from_counts)
 GROUP BY r.pid, ow.no
 """
 
@@ -824,6 +833,122 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (hyperplane-bucketed,
+    cosine-verified, operators/similarity.py:embedding_near_dup_pairs).
+
+    The testdata embeddings contain NO near-dup pairs (verified: zero
+    off-diagonal cosines ≥ 0.98), so the query plants them
+    deterministically: every vector with vec_id < 40 is re-inserted
+    scaled ×2 under vec_id + 100000. Scaling preserves direction, so a
+    planted copy shares EVERY hyperplane sign with its original
+    (sign(<2v, r>) = sign(<v, r>)) — the LSH bucket collision is
+    PROVABLE, not probabilistic, recall on this fixture is exactly 1,
+    and the exact all-pairs cosine join is therefore a sound oracle."""
+    from perl_data_validate_sanctions_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    aug = base.unionByName(planted)
+    out = embedding_near_dup_pairs(aug, threshold=0.999, n_planes=8, dim=64)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+_EMB_NEAR_DUP_ORACLE = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+  FROM base WHERE vec_id < 40
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+"""
+
+
+# pinned payload parameter set for the multimodal feature oracle —
+# covers lossless (amp=0), lossy-in-spec (amp=1, PSNR≈48dB) and
+# mid-band lossy (amp=9, PSNR≈33dB) over three aspect shapes
+IMG_FEATURE_PARAMS = [
+    (
+        f"img-feat-{i:03d}",
+        ("png", "jpg", "bmp")[i % 3],
+        (16, 32, 17)[i % 3],
+        (8, 16, 9)[(i // 3) % 3],
+        1000 + 7 * i,
+        (0, 1, 9)[(i // 9) % 3],
+    )
+    for i in range(27)
+]
+
+
+def _img_payload(fmt: str, w: int, h: int, seed: int, amp: int) -> bytes:
+    return f"PDVS1|{fmt}|{w}|{h}|{seed}|{amp}".encode()
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (operators/multimodal.py:
+    extract_image_features — batched per-(w,h,amp) group render) over a
+    pinned payload set. The oracle is the independent SIMPLE reference
+    path: per-row ``codec.decode`` + plain numpy mean/std/|diff| over
+    the full-resolution image, precomputed at oracle-build time and
+    inlined as VALUES (the q:dob_classify golden pattern) — so the
+    grouped/chunked vectorized engine path is checked value-for-value
+    against the obviously-correct per-row implementation."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    rows = [
+        (iid, bytearray(_img_payload(fmt, w, h, seed, amp)))
+        for iid, fmt, w, h, seed, amp in IMG_FEATURE_PARAMS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = extract_image_features(df)
+    return out.select(
+        "image_id", "fmt", "w", "h",
+        F.round("mean_luma", 4).alias("mean_luma"),
+        F.round("std_luma", 4).alias("std_luma"),
+        F.round("edge_energy", 4).alias("edge_energy"),
+    )
+
+
+def _image_features_oracle() -> str:
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.sources import codec
+
+    vals = []
+    for iid, fmt, w, h, seed, amp in IMG_FEATURE_PARAMS:
+        _, _, _, px = codec.decode(_img_payload(fmt, w, h, seed, amp))
+        p16 = px.astype(np.int16)  # uint8 diff would wrap mod 256
+        gx = float(np.abs(np.diff(p16, axis=1)).mean()) if w > 1 else 0.0
+        gy = float(np.abs(np.diff(p16, axis=0)).mean()) if h > 1 else 0.0
+        vals.append(
+            f"('{iid}', '{fmt}', {w}, {h}, {float(px.mean())!r}, "
+            f"{float(px.std())!r}, {gx + gy!r})"
+        )
+    return (
+        "SELECT image_id, fmt, w, h, "
+        "round(mean_luma, 4) AS mean_luma, "
+        "round(std_luma, 4) AS std_luma, "
+        "round(edge_energy, 4) AS edge_energy FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, fmt, w, h, mean_luma, std_luma, edge_energy)"
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation pipeline: quality gate →
     exact dedup (normalized-md5, min-id survivor) → near-dup removal
@@ -928,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "image_features": q_image_features,
         "curate_corpus": q_curate_corpus,
     }
 
@@ -966,4 +1093,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _JACCARD_ORACLE,
         "simhash_near_dups": _simhash_oracle(max_hamming=6, n_bits=60),
         "lsh_ann_topk": _lsh_ann_oracle(k=5, n_planes=6, dim=64),
+        # recall on the planted-scaled-copy fixture is provably 1 (sign
+        # bits are scale-invariant), so exact all-pairs cosine IS the
+        # oracle — see q_embedding_near_dups docstring
+        "embedding_near_dups": _EMB_NEAR_DUP_ORACLE,
+        # golden VALUES from the independent per-row decode path
+        "image_features": _image_features_oracle(),
     }

@@ -105,6 +105,78 @@ def main() -> None:
     )
     run_suite(spark, warm, entries, ref_keys, pixel_sample=PIXEL_SAMPLE)
 
+    # MEASUREMENT ORDER (round-2 lesson): every fixed-size micro-query
+    # is timed BEFORE the repeated full-suite runs. This VM is a
+    # credit-throttled burstable instance — numbers taken after minutes
+    # of sustained load measure the machine's depleted state, not the
+    # code (round 2 recorded a phantom 14× "regression" in
+    # match_captions_native exactly this way). Heaviest work runs last.
+    if not suite_only:
+        # key testdata queries (small, fixed size)
+        import __spark_entry__ as em
+
+        qs = em.queries()
+        for name in (
+            "match_documents", "pricing_summary", "stats_documents",
+            "window_topk", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+            "ann_topk", "drift_chi2_events",
+        ):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
+
+        from perl_data_validate_sanctions_spark.operators.matcher import (
+            match_captions,
+        )
+        from perl_data_validate_sanctions_spark.operators.matcher_arrow import (
+            match_captions_arrow,
+        )
+
+        t0 = time.time()
+        match_captions(images, entries).count()
+        timings["match_captions_native"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        match_captions_arrow(images, entries).count()
+        timings["match_captions_arrow"] = round(time.time() - t0, 3)
+
+        # single-node reference-shape proxy: the reference is a single-
+        # threaded in-process engine (in-memory inverted token index +
+        # per-probe loop, Sanctions.pm:253-315); _MatcherIndex reproduces
+        # exactly that shape in one Python thread — the honest stand-in
+        # for "the reference's single-node throughput at the same scale"
+        # (the Perl library itself can't run here: CPAN deps absent)
+        from perl_data_validate_sanctions_spark.operators.matcher import (
+            build_name_dim,
+        )
+        from perl_data_validate_sanctions_spark.operators.matcher_arrow import (
+            _clean_tokens_py,
+            _MatcherIndex,
+        )
+
+        caps = [
+            r["caption"]
+            for r in images.select("caption").collect()
+            if r["caption"]
+        ]
+        dim_rows = [
+            r.asDict()
+            for r in build_name_dim(entries)
+            .select("entry_id", "source", "name", "name_tokens")
+            .collect()
+        ]
+        index = _MatcherIndex(dim_rows)
+        t0 = time.time()
+        hits = sum(
+            1
+            for c in caps
+            if index.match_caption_tokens(_clean_tokens_py(c)) is not None
+        )
+        t_single = time.time() - t0
+        timings["single_node_reference_proxy_match"] = round(t_single, 3)
+        single_node_qps = (
+            round(len(caps) / t_single, 1) if t_single > 0 else None
+        )
+
     # steady-state wall: best of two consecutive full runs (first-run
     # residue — lazy JIT tiers, THP collapse — still shows up otherwise;
     # both runs recorded)
@@ -153,69 +225,6 @@ def main() -> None:
         run_suite(spark, exact_images, entries, ref_keys,
                   checks=("integrity",)), 3
     )
-
-    from perl_data_validate_sanctions_spark.operators.matcher import (
-        match_captions,
-    )
-    from perl_data_validate_sanctions_spark.operators.matcher_arrow import (
-        match_captions_arrow,
-    )
-
-    t0 = time.time()
-    match_captions(images, entries).count()
-    timings["match_captions_native"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    match_captions_arrow(images, entries).count()
-    timings["match_captions_arrow"] = round(time.time() - t0, 3)
-
-    # single-node reference-shape proxy: the reference is a single-
-    # threaded in-process engine (in-memory inverted token index +
-    # per-probe loop, Sanctions.pm:253-315); _MatcherIndex reproduces
-    # exactly that shape in one Python thread — the honest stand-in
-    # for "the reference's single-node throughput at the same scale"
-    # (the Perl library itself can't run here: CPAN deps absent)
-    from perl_data_validate_sanctions_spark.operators.matcher import (
-        build_name_dim,
-    )
-    from perl_data_validate_sanctions_spark.operators.matcher_arrow import (
-        _clean_tokens_py,
-        _MatcherIndex,
-    )
-
-    caps = [
-        r["caption"]
-        for r in images.select("caption").collect()
-        if r["caption"]
-    ]
-    dim_rows = [
-        r.asDict()
-        for r in build_name_dim(entries)
-        .select("entry_id", "source", "name", "name_tokens")
-        .collect()
-    ]
-    index = _MatcherIndex(dim_rows)
-    t0 = time.time()
-    hits = sum(
-        1
-        for c in caps
-        if index.match_caption_tokens(_clean_tokens_py(c)) is not None
-    )
-    t_single = time.time() - t0
-    timings["single_node_reference_proxy_match"] = round(t_single, 3)
-    single_node_qps = round(len(caps) / t_single, 1) if t_single > 0 else None
-
-    # key testdata queries
-    import __spark_entry__ as em
-
-    qs = em.queries()
-    for name in (
-        "match_documents", "pricing_summary", "stats_documents",
-        "window_topk", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-        "ann_topk", "drift_chi2_events",
-    ):
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
 
     result = {
         "metric": "full_validation_suite_wall_time",

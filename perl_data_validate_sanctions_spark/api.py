@@ -85,13 +85,28 @@ class SanctionsValidator:
             self._state = self.spark.read.parquet(sp)
         return self._state
 
-    def _publish_parquet(self, df: DataFrame, path: str) -> DataFrame:
+    def _publish_parquet(
+        self, df: DataFrame, path: str, keep_versions: int = 2
+    ) -> DataFrame:
         """Crash-safe publish: write a versioned directory, then swap a
         symlink into place (rename(2) over a symlink is atomic — the
         analog of the reference's rename() over the YAML file,
-        Sanctions.pm:384-395). A reader never observes a missing or
-        half-written dataset; a crash leaves either the old or the new
-        version live, plus at worst an orphaned version dir."""
+        Sanctions.pm:384-395). Readers that open ``path`` after the swap
+        see the new version; readers still mid-scan on an earlier
+        version (or a pre-swap DataFrame re-executing its plan on task
+        retry) keep a valid directory because the newest
+        ``keep_versions`` version dirs are RETAINED — GC is deferred to
+        later publishes, never done at swap time. A crash leaves either
+        the old or the new version live, plus at worst orphaned version
+        dirs that the next publish collects.
+
+        One caveat is inherent: migrating a legacy plain-dir snapshot
+        to the symlink scheme cannot be a single rename(2) (a symlink
+        can't be renamed over a non-empty directory), so that one
+        publish has a two-syscall window where ``path`` is absent; the
+        old dir is kept as a retained version throughout. Every
+        subsequent publish is single-rename atomic."""
+        import glob
         import shutil
 
         version = f"{path}.v{time.time_ns()}"
@@ -100,17 +115,22 @@ class SanctionsValidator:
         if os.path.lexists(tmp_link):
             os.remove(tmp_link)
         os.symlink(os.path.abspath(version), tmp_link)
-        old_target = None
-        if os.path.islink(path):
-            old_target = os.path.realpath(path)
-        elif os.path.isdir(path):
-            # legacy plain-dir snapshot: move it aside (recoverable if
-            # we crash mid-swap), then link — never rmtree-first
-            old_target = f"{path}.old.{time.time_ns()}"
-            os.rename(path, old_target)
+        if os.path.isdir(path) and not os.path.islink(path):
+            # legacy plain-dir snapshot: move it aside — it becomes a
+            # retained version (readable throughout), never rmtree'd
+            os.rename(path, f"{path}.v{time.time_ns()}")
         os.rename(tmp_link, path)  # atomic: replaces file/symlink
-        if old_target and os.path.isdir(old_target):
-            shutil.rmtree(old_target, ignore_errors=True)
+        # deferred GC: drop all but the newest keep_versions versions;
+        # the live target is always protected
+        live = os.path.realpath(path)
+        versions = sorted(
+            (v for v in glob.glob(f"{path}.v*") if os.path.isdir(v)),
+            key=os.path.getmtime,
+            reverse=True,
+        )
+        for stale in versions[max(keep_versions, 1):]:
+            if os.path.realpath(stale) != live:
+                shutil.rmtree(stale, ignore_errors=True)
         return self.spark.read.schema(df.schema).parquet(path)
 
     def update_data(
@@ -138,6 +158,26 @@ class SanctionsValidator:
         if cur_state is None:
             cur_state = source_state(current)
         new_state = source_state(fetched_entries)
+        # a source fetched WITHOUT a publish stamp keeps its current
+        # epoch (the reference's `//= 0` default applies to never-seen
+        # sources only, Sanctions.pm:59): otherwise an identical
+        # unstamped re-fetch reads as updated-changed (0 != stored
+        # epoch), spuriously replacing the source and resetting its
+        # persisted publish epoch to 0
+        cur_epochs = cur_state.select(
+            "source", F.col("updated").alias("__cur_updated")
+        )
+        new_state = (
+            new_state.join(cur_epochs, "source", "left")
+            .withColumn(
+                "updated",
+                F.when(
+                    F.col("updated") == 0,
+                    F.coalesce("__cur_updated", F.col("updated")),
+                ).otherwise(F.col("updated")),
+            )
+            .drop("__cur_updated")
+        )
         if updated_by_source:
             pairs = [x for kv in updated_by_source.items() for x in kv]
             stamp = F.coalesce(

@@ -67,7 +67,18 @@ def drift_from_hist(
     """Same verdicts from a prebuilt (partition_id, value, n) histogram —
     lets the runner feed several drift checks from one cube scan."""
     global_hist = hist.groupBy("value").agg(F.sum("n").alias("n_global"))
-    joined = hist.join(F.broadcast(global_hist), "value")
+    # full (partition × value) grid: a value absent from a partition but
+    # present elsewhere must still reach the statistic as own=0 —
+    # otherwise `rest` (global minus own) silently drops that value's
+    # mass from the holdout CDF (KS) / expected proportions (chi2), a
+    # bias whenever partitions don't share the same support. The grid is
+    # |partitions| × |distinct values| histogram rows — tiny for the
+    # low-cardinality columns drift applies to, and built broadcast-side.
+    parts = hist.select("partition_id").distinct()
+    grid = parts.crossJoin(F.broadcast(global_hist))  # both tiny
+    joined = grid.join(hist, ["partition_id", "value"], "left").fillna(
+        0, ["n"]
+    )
 
     col_name, knd, a = value_col, kind, alpha
 
@@ -75,11 +86,6 @@ def drift_from_hist(
         pid = int(pdf["partition_id"].iloc[0])
         own = pdf["n"].to_numpy(dtype=np.float64)
         rest = pdf["n_global"].to_numpy(dtype=np.float64) - own
-        # NOTE: values absent from this partition but present elsewhere
-        # are not in pdf; for KS over ordered numeric values this under-
-        # represents `rest` — acceptable for discrete pixel-dim columns
-        # where partitions share the same support; chi-square handles it
-        # via the zero-expected cap.
         if knd == "ks":
             values = pd.to_numeric(pdf["value"]).to_numpy(dtype=np.float64)
             stat, p = ks_two_sample_from_counts(values, own, rest)

@@ -71,15 +71,20 @@ def _shingle_table(
 ) -> DataFrame:
     """(id, sh) with non-empty distinct shingle sets. Repartitioned by id
     so a small input file (one split) still parallelizes the per-doc
-    shingle compute; cached because every consumer (sizes, explode,
-    verify) re-reads it."""
+    shingle compute; materialized once (every consumer — sizes, explode,
+    verify — re-reads it) via an EAGER localCheckpoint rather than
+    ``.cache()``: a cache entry lives in the session CacheManager until
+    an explicit unpersist (repeated dedup calls would leak executor
+    storage for the session lifetime), while checkpoint blocks are
+    reclaimed by the ContextCleaner as soon as the consuming plans are
+    garbage-collected — the cache's lifetime follows the result's."""
     sh = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2,
                        F.col(id_col))
         .select(F.col(id_col).alias("id"), word_shingles(text_col, w).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    return sh.cache() if cache else sh
+    return sh.localCheckpoint(eager=True) if cache else sh
 
 
 def ngram_jaccard_pairs(

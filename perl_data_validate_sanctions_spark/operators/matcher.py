@@ -280,6 +280,15 @@ def match_captions(
     pass set is never materialized; per-partition pass counts come from
     the runner. Only candidate-bearing rows (captions sharing ≥1 token
     with the dimension) reach the shuffle.
+
+    Contract (pinned, shared with :func:`..matcher_arrow.
+    match_captions_arrow`): ONE verdict row per matched PHYSICAL input
+    row — the reference verdicts per probe row (Sanctions.pm:217-319),
+    so duplicate image_ids yield duplicate verdict rows (each physical
+    duplicate is its own violation;
+    tests/test_matcher.py::test_caption_match_native_and_arrow_agree
+    pins both paths on a dup-id fixture). Dedup within one physical
+    row's candidates uses an internal per-row key, never image_id.
     """
     token_index = F.broadcast(
         build_token_index(build_name_dim(entries)).select(
@@ -290,13 +299,21 @@ def match_captions(
             _DIM_PREFIX + "name_tokens",
         )
     )
-    prepared = images.select(
-        F.col(id_col).alias("__pid"),
-        clean_name_tokens(F.col(caption_col)).alias("__ptokens"),
-    ).filter(F.size("__ptokens") > 0)
+    prepared = (
+        images.select(
+            F.col(id_col).alias("__pid"),
+            clean_name_tokens(F.col(caption_col)).alias("__ptokens"),
+        )
+        .filter(F.size("__ptokens") > 0)
+        # per-PHYSICAL-row key: grouping on image_id would silently
+        # merge duplicate-id rows into one verdict (the round-2 native/
+        # arrow divergence); the id is nondeterministic across runs but
+        # only ever used as a grouping key inside this one plan
+        .withColumn("__rid", F.monotonically_increasing_id())
+    )
 
     exploded = prepared.select(
-        "__pid", "__ptokens", F.explode("__ptokens").alias("__token")
+        "__rid", "__pid", "__ptokens", F.explode("__ptokens").alias("__token")
     )
     joined = exploded.join(token_index, "__token")
 
@@ -309,15 +326,16 @@ def match_captions(
 
     best = (
         joined.filter(name_ok)
-        .groupBy("__pid")
+        .groupBy("__rid")
         .agg(
+            F.first("__pid").alias("__pid"),
             F.min(
                 F.struct(
                     _e("source").alias("list"),
                     _e("name").alias("name"),
                     _e("entry_id").alias("entry_id"),
                 )
-            ).alias("__best")
+            ).alias("__best"),
         )
     )
     return best.select(

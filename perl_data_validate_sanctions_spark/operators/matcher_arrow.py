@@ -12,7 +12,11 @@ token index (the same candidate-pruning structure as Sanctions.pm:
 
 Trade-off vs the native Catalyst path (operators/matcher.py): no
 shuffle at all (vs a ~2%-of-rows shuffle), but pays the Arrow hop.
-Semantically identical — tests assert both paths agree row-for-row.
+Semantically identical under the pinned contract — one verdict row per
+matched PHYSICAL input row (duplicate image_ids yield duplicate verdict
+rows; each physical duplicate is its own violation) — asserted on a
+dup-id fixture by
+tests/test_matcher.py::test_caption_match_native_and_arrow_agree.
 """
 
 from __future__ import annotations

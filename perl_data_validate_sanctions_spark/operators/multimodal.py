@@ -107,27 +107,63 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def _decoded_blocks(pdf: pd.DataFrame, slot_prefix: str = "mmblk"):
+    """Batched decode shared by resize/frame-sample: rows group by
+    (w, h, amp) and each group's pixels render as ONE (rows, h, w) uint8
+    numpy block (chunked to the codec's pixel budget) — identical values
+    to per-row ``codec.decode``, with per-row Python reduced to the
+    header parse. Yields (row_indices, w, h, block); the block ALIASES
+    pooled scratch buffers, valid only until the next yield. With a real
+    codec the decode becomes per-row again but everything downstream
+    stays batched."""
+    groups, _ = _parse_headers(pdf)
+    for (w, h, amp), members in groups.items():
+        idxs = np.array([m[0] for m in members], dtype=np.int64)
+        seeds = np.array([m[1] for m in members], dtype=np.uint64)
+        rows_per_chunk = max(1, 4_000_000 // (w * h))
+        for lo in range(0, len(idxs), rows_per_chunk):
+            sub = slice(lo, lo + rows_per_chunk)
+            px = codec.render_batch(
+                seeds[sub], w * h, slot=f"{slot_prefix}_px"
+            )
+            if amp:
+                d16 = codec._pool_buf(
+                    f"{slot_prefix}_d16", px.size, np.int16
+                ).reshape(px.shape)
+                d16[...] = px
+                d16 += codec.noise_batch(
+                    seeds[sub], w * h, amp, slot=f"{slot_prefix}_noise"
+                )
+                np.clip(d16, 0, 255, out=d16)
+                u8 = codec._pool_buf(
+                    f"{slot_prefix}_u8", d16.size, np.uint8
+                ).reshape(d16.shape)
+                u8[...] = d16
+                px = u8
+            yield idxs[sub], w, h, px.reshape(-1, h, w)
+
+
 RESIZE_SCHEMA = "image_id string, w int, h int, thumb binary"
 
 
 def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
     """Nearest-neighbor thumbnail of the decoded pixels, re-encoded as a
-    raw binary column. Swap the decode line for a real codec to
-    productionize; the resampling + binary round-trip is real."""
+    raw binary column. Decode is batched per (w, h, amp) group via
+    :func:`_decoded_blocks` (no per-row Python beyond the header parse);
+    the whole group's thumbnails come from ONE fancy-index gather."""
     tw, th = int(target_w), int(target_h)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids = pdf["image_id"].to_numpy(dtype=object)
             out = []
-            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
-                try:
-                    _, w, h, px = codec.decode(blob)
-                except ValueError:
-                    continue
+            for idxs, w, h, block in _decoded_blocks(pdf, "mm_rs"):
                 ys = (np.arange(th) * h // th).clip(0, h - 1)
                 xs = (np.arange(tw) * w // tw).clip(0, w - 1)
-                thumb = px[np.ix_(ys, xs)]
-                out.append((iid, tw, th, thumb.tobytes()))
+                # one gather resizes every row of the group: (n, th, tw)
+                thumbs = block[:, ys[:, None], xs[None, :]]
+                for j, i in enumerate(idxs):
+                    out.append((ids[i], tw, th, thumbs[j].tobytes()))
             yield pd.DataFrame(out, columns=["image_id", "w", "h", "thumb"])
 
     return df.select("image_id", "bytes").mapInPandas(run, RESIZE_SCHEMA)
@@ -141,19 +177,22 @@ def sample_frames(df: DataFrame, every_n: int = 4, n_frames: int = 16) -> DataFr
     as a stack of ``n_frames`` horizontal bands (a stand-in for decoded
     video frames — no video codec in the container) and emits every
     ``every_n``-th band's summary. Output fans out rows (one per
-    sampled frame), exercising the 1→N mapInPandas contract."""
+    sampled frame), exercising the 1→N mapInPandas contract. Decode is
+    batched per (w, h, amp) group; each sampled band's means compute
+    for the WHOLE group in one reduction."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids = pdf["image_id"].to_numpy(dtype=object)
             out = []
-            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
-                try:
-                    _, w, h, px = codec.decode(blob)
-                except ValueError:
-                    continue
-                bands = np.array_split(px, min(n_frames, h), axis=0)
-                for i in range(0, len(bands), every_n):
-                    out.append((iid, i, float(bands[i].mean())))
+            for idxs, w, h, block in _decoded_blocks(pdf, "mm_fs"):
+                # same band boundaries as np.array_split(px, k, axis=0)
+                # on a single (h, w) image, applied group-wide on axis=1
+                bands = np.array_split(block, min(n_frames, h), axis=1)
+                for bi in range(0, len(bands), every_n):
+                    means = bands[bi].mean(axis=(1, 2))
+                    for j, i in enumerate(idxs):
+                        out.append((ids[i], bi, float(means[j])))
             yield pd.DataFrame(
                 out, columns=["image_id", "frame_idx", "frame_mean"]
             )

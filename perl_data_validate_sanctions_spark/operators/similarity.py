@@ -17,11 +17,21 @@ from pyspark.sql import functions as F
 
 def _per_query_topk(scored: DataFrame, k: int) -> DataFrame:
     """(query_id, vec_id, cosine) → top-k per query WITHOUT a per-query
-    window sort. A ``Window.partitionBy(query_id)`` sorts every scored
+    window sort. A ``Window.partitionBy(query_id)`` sorts EVERY scored
     row for a query in ONE task — a single-reducer bottleneck at 10^12
-    rows. Instead: per-(query, input-partition) partial top-k via an
-    aggregate (map-side combine keeps ≤k rows per partition), then a
-    final per-query merge over ≤ k·P rows. Ordering matches
+    rows. Instead: per-(query, input-partition) partial top-k via
+    ``slice(array_sort(collect_list(...)), 1, k)``, then a final
+    per-query merge over ≤ k·P rows.
+
+    Memory honesty: collect_list buffers ALL scored rows of one
+    (query, input-partition) group in aggregation state before the
+    sort/slice — state is O(rows per input partition per query), NOT
+    O(k). What this removes is the single-reducer per-query sort (the
+    scale killer); the partial state is bounded by however
+    ``spark.sql.files.maxPartitionBytes`` sizes the input partitions,
+    which the caller controls. A genuinely O(k) accumulator needs a
+    custom typed aggregator (JVM) — noted as the upgrade path if
+    partition-sized state ever becomes the limit. Ordering matches
     ``row_number() OVER (ORDER BY cosine DESC, vec_id)`` exactly:
     structs sort ascending by (-cosine, vec_id)."""
     item = F.struct(

@@ -94,7 +94,12 @@ def run_validation(
     spark = images.sparkSession
 
     pieces: list[DataFrame] = []
+    piece_names: list[str] = []
     drift_results: dict[str, DataFrame] = {}
+
+    def _add(name: str, df: DataFrame) -> None:
+        piece_names.append(name)
+        pieces.append(df)
 
     # ONE scan builds the (partition, w, h, fmt) data cube; the three
     # drift histograms AND the per-partition row counts all derive from
@@ -109,18 +114,23 @@ def run_validation(
     )
 
     if "schema" in checks:
-        pieces.append(schema_violations(images, part))
+        _add("schema", schema_violations(images, part))
     if "unique_image_id" in checks:
-        pieces.append(
-            uniqueness_violations(images, "image_id", partition_expr=part)
+        _add(
+            "unique_image_id",
+            uniqueness_violations(images, "image_id", partition_expr=part),
         )
     if "unique_phash" in checks:
-        pieces.append(uniqueness_violations(images, "phash", partition_expr=part))
+        _add(
+            "unique_phash",
+            uniqueness_violations(images, "phash", partition_expr=part),
+        )
     if "referential" in checks and ref_keys is not None:
-        pieces.append(
+        _add(
+            "referential",
             referential_violations(
                 images, caption_key_expr(), ref_keys, partition_expr=part
-            )
+            ),
         )
     for col, kind in (("w", "ks"), ("h", "ks"), ("fmt", "chi2")):
         name = f"drift_{col}"
@@ -132,12 +142,13 @@ def run_validation(
             )
             res = drift_from_hist(hist, col, kind=kind)
             drift_results[col] = res
-            pieces.append(drift_violations(res))
+            _add(name, drift_violations(res))
     if "integrity" in checks:
-        pieces.append(
+        _add(
+            "integrity",
             integrity_violations(
                 images, part, exp_cap, pixel_sample=pixel_sample
-            )
+            ),
         )
     if "sanctioned" in checks and entries is not None:
         matcher = (
@@ -148,7 +159,8 @@ def run_validation(
         # {matched: 1} verdict, re-framed as a constraint failure);
         # the logical partition derives from image_id alone, so no
         # join back to the table is needed
-        pieces.append(
+        _add(
+            "sanctioned",
             matches.select(
                 F.lit("sanctioned").alias("check"),
                 part.cast("int").alias("partition_id"),
@@ -163,15 +175,32 @@ def run_validation(
         )
 
     if concurrent and len(pieces) > 1:
+        import os
+        import sys
+        import time
         from concurrent.futures import ThreadPoolExecutor
+
+        timing = os.environ.get("PDVS_RUNNER_TIMING") == "1"
 
         # drift pieces share `cube` — materialize it once up front so
         # concurrent branches don't race to compute the cached plan
+        t0 = time.time()
         cube.count()
+        if timing:
+            print(f"[runner] cube {time.time() - t0:7.2f}s",
+                  file=sys.stderr)
+
+        def _mat(arg: tuple[str, DataFrame]) -> DataFrame:
+            name, df = arg
+            t = time.time()
+            out = df.localCheckpoint(eager=True)
+            if timing:
+                print(f"[runner] {name:16s} {time.time() - t:7.2f}s",
+                      file=sys.stderr)
+            return out
+
         with ThreadPoolExecutor(max_workers=len(pieces)) as ex:
-            pieces = list(
-                ex.map(lambda df: df.localCheckpoint(eager=True), pieces)
-            )
+            pieces = list(ex.map(_mat, zip(piece_names, pieces)))
     if pieces:
         violations = pieces[0]
         for p in pieces[1:]:

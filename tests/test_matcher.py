@@ -194,24 +194,49 @@ def test_field_mismatch_matrix(spark):
 
 
 def test_caption_match_native_and_arrow_agree(spark):
-    images = synth_images(spark, 4000, num_partitions=4)
+    # dup_mod=200 plants duplicate image_ids (every 200th physical row
+    # clones the previous id): the pinned contract is ONE verdict row
+    # per matched PHYSICAL row, so both paths must agree as multisets,
+    # duplicates included (the round-2 native/arrow divergence)
+    images = synth_images(spark, 4000, num_partitions=4, dup_mod=200)
     entries = synth_entries(spark, n_extra=20)
-    native = {
-        r["image_id"]: (r["list"], r["matched_name"])
+    native = sorted(
+        (r["image_id"], r["list"], r["matched_name"])
         for r in match_captions(images, entries).collect()
-    }
-    arrow = {
-        r["image_id"]: (r["list"], r["matched_name"])
+    )
+    arrow = sorted(
+        (r["image_id"], r["list"], r["matched_name"])
         for r in match_captions_arrow(images, entries).collect()
-    }
+    )
     assert native == arrow
     assert len(native) > 0  # personas are planted in ~2% of captions
     # spot-check: every match's name tokens appear in its caption
+    by_id = dict((iid, (lst, name)) for iid, lst, name in native)
     sample = images.filter(
-        F.col("image_id").isin(*list(native.keys())[:20])
+        F.col("image_id").isin(*list(by_id.keys())[:20])
     ).collect()
     caps = {r["image_id"]: r["caption"] for r in sample}
-    for iid, (_, name) in list(native.items())[:20]:
+    for iid, (_, name) in list(by_id.items())[:20]:
         if iid in caps and caps[iid]:
             first_tok = name.split()[0].upper()
             assert first_tok in caps[iid].upper()
+
+
+def test_caption_match_dup_id_rows_each_get_a_verdict(spark):
+    """Explicit dup-id fixture: the same image_id on two physical rows
+    with a sanctioned caption → exactly two verdict rows on BOTH paths
+    (each physical duplicate is its own violation)."""
+    images = spark.createDataFrame(
+        [
+            ("img-dup", "A photo of Abu Salem in Rivertown"),
+            ("img-dup", "A photo of Abu Salem in Rivertown"),
+            ("img-other", "An ordinary landscape"),
+        ],
+        "image_id string, caption string",
+    )
+    entries = synth_entries(spark)
+    for matcher in (match_captions, match_captions_arrow):
+        rows = matcher(images, entries).collect()
+        assert len(rows) == 2, matcher.__name__
+        assert all(r["image_id"] == "img-dup" for r in rows)
+        assert len({r["matched_name"] for r in rows}) == 1
