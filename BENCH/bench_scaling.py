@@ -15,11 +15,11 @@ raw_efficiency / machine_ceiling, reported as
 ``normalized_efficiency``.
 
 Outputs BENCH/scaling.json with, per span (1→4 and 8→32 cores):
-raw suite efficiency, machine ceiling, normalized efficiency.
-``met`` = RAW efficiency ≥ 0.8 on the headline 1→4 span, where the
-machine ceiling is ~0.97 so raw wall-clock genuinely reflects the
-engine; the 8→32 span's raw + ceiling + normalized numbers sit right
-next to it for the full picture.
+raw suite efficiency, machine ceiling, normalized efficiency — each
+with its OWN ``met_<span>_raw`` / ``met_<span>_normalized`` verdict
+key. There is deliberately no generic ``met``: a single verdict key
+whose underlying experiment can change between rounds invites
+misreading (exactly what round 2's artifact did).
 """
 
 from __future__ import annotations
@@ -28,7 +28,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -94,22 +93,32 @@ def run_at(cores: int, sf_dir: str, n_rows: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def span(n_small: int, n_rows: int, sf_dir: str, attempts: int = 1) -> dict:
+def span(n_small: int, n_rows: int, sf_dir: str, attempts: int = 2) -> dict:
     n_big = 4 * n_small
     ready_mpx = wait_for_machine()
     # Alternate big/small legs over `attempts` rounds and take the MIN
     # wall per leg: this VM's noise (credit throttle, khugepaged, page
     # cache) only ever ADDS time to a leg, so per-leg minima are the
-    # drift-robust estimator; every attempt is recorded. Big leg first
-    # each round (fresh credits to the big leg biases efficiency DOWN —
-    # the conservative direction).
+    # drift-robust estimator; every attempt is recorded. The machine-
+    # readiness gate runs before EVERY leg, not once per span — a leg
+    # measured on post-load depleted credits records the machine, not
+    # the engine (round 2's 8→32 legs ran back-to-back and the second
+    # leg absorbed the first leg's depletion). Leg order alternates
+    # between rounds so neither leg systematically inherits whatever
+    # depletion survives the gate.
     bigs, smalls = [], []
     big = small = None
-    for _ in range(max(1, attempts)):
-        big = run_at(n_big, sf_dir, n_rows)
-        small = run_at(n_small, sf_dir, n_rows)
-        bigs.append(big["value"])
-        smalls.append(small["value"])
+    for i in range(max(1, attempts)):
+        order = (n_big, n_small) if i % 2 == 0 else (n_small, n_big)
+        for cores in order:
+            if i > 0 or cores != order[0]:
+                wait_for_machine()
+            res = run_at(cores, sf_dir, n_rows)
+            (bigs if cores == n_big else smalls).append(res["value"])
+            if cores == n_big:
+                big = res
+            else:
+                small = res
     raw = (min(smalls) / min(bigs)) / (n_big / n_small)
     k_small = kernel_mpx(n_small)
     k_big = kernel_mpx(n_big)
@@ -122,8 +131,8 @@ def span(n_small: int, n_rows: int, sf_dir: str, attempts: int = 1) -> dict:
         "suite_sec_big": min(bigs),
         "attempts_small": smalls,
         "attempts_big": bigs,
-        "images_per_sec_small": small["images_per_sec"],
-        "images_per_sec_big": big["images_per_sec"],
+        "images_per_sec_small": round(n_rows / min(smalls), 1),
+        "images_per_sec_big": round(n_rows / min(bigs), 1),
         "raw_efficiency": round(raw, 3),
         "machine_ready_kernel_mpxs_1proc": round(ready_mpx, 1),
         "machine_ceiling_kernel_mpxs": {
@@ -152,9 +161,15 @@ def main() -> None:
         # 8→32 active cores the machine itself caps wall-clock
         # efficiency (~0.79 for cache-resident ALU loops, ~0.63
         # DRAM-touching) — reported raw next to the measured ceiling +
-        # normalized.
-        spans["8_to_32"] = span(8, 9_600_000, sf_dir)
-        time.sleep(120)
+        # normalized. Rows sized so a leg finishes BEFORE the burstable
+        # credit pool depletes mid-leg (round 2 ran 9.6M-row legs whose
+        # second half measured a throttled machine; the floor is ~3 s,
+        # <7% of the 32-core leg at this size).
+        spans["8_to_32"] = span(
+            8, int(os.environ.get("PDVS_SCALE_ROWS_HIGH", "4800000")),
+            sf_dir,
+            attempts=int(os.environ.get("PDVS_SCALE_ATTEMPTS", "2")),
+        )
     if "1_to_4" in which:
         # HEADLINE span: 1→4 cores. On this one-machine sandbox, few
         # active cores ≈ independent executors (measured machine
@@ -165,24 +180,37 @@ def main() -> None:
             1, int(os.environ.get("PDVS_SCALE_ROWS", "2400000")), sf_dir,
             attempts=int(os.environ.get("PDVS_SCALE_ATTEMPTS", "2")),
         )
-    headline = spans["1_to_4"]
+    # Per-span verdict keys ONLY — round 2 shipped a generic
+    # `met`/`scaling_efficiency` pair whose underlying experiment
+    # changed between rounds (8→32 in r1, 1→4 in r2), which let the
+    # artifact read as "the original gate passed" against a different
+    # measurement. Every key now names its span; there is no generic
+    # `met`.
     result = {
         "sf_dir": sf_dir,
-        "protocol": "identical suite at N vs 4N local cores; ceiling = "
-                    "engine render kernel as independent processes "
-                    "(no Spark); normalized = raw / ceiling (a real "
-                    "N→4N executor fleet scales bandwidth+frequency "
-                    "with N, so its ceiling ≈ 1)",
-        "spans": spans,
-        "scaling_efficiency": headline["raw_efficiency"],
+        "protocol": "identical suite at N vs 4N local cores, machine-"
+                    "readiness-gated before every leg, per-leg minima "
+                    "over alternating attempts; ceiling = engine render "
+                    "kernel as independent processes (no Spark); "
+                    "normalized = raw / ceiling (a real N→4N executor "
+                    "fleet scales bandwidth+frequency with N, so its "
+                    "ceiling ≈ 1)",
         "target": 0.8,
-        "met": headline["raw_efficiency"] >= 0.8,
-        "high_span_raw": spans["8_to_32"]["raw_efficiency"],
-        "high_span_machine_ceiling":
-            spans["8_to_32"]["machine_ceiling_efficiency"],
-        "high_span_normalized":
-            spans["8_to_32"]["normalized_efficiency"],
+        "spans": spans,
+        "note": "this sandbox is ONE burstable VM: N vs 4N cores share "
+                "one memory bus, one frequency budget and one CPU-"
+                "credit pool, so the wall-clock ceiling any workload "
+                "can express falls with N (kernel-measured per span). "
+                "1→4 stays under the sustainable budget (ceiling "
+                "~0.9); 8→32 cannot reach 0.8 raw on this hardware "
+                "even for the Spark-free kernel.",
     }
+    for key, sp in spans.items():
+        result[f"raw_efficiency_{key}"] = sp["raw_efficiency"]
+        result[f"met_{key}_raw"] = sp["raw_efficiency"] >= 0.8
+        result[f"machine_ceiling_{key}"] = sp["machine_ceiling_efficiency"]
+        result[f"normalized_efficiency_{key}"] = sp["normalized_efficiency"]
+        result[f"met_{key}_normalized"] = sp["normalized_efficiency"] >= 0.8
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))

@@ -177,9 +177,23 @@ def main() -> None:
             round(len(caps) / t_single, 1) if t_single > 0 else None
         )
 
-    # steady-state wall: best of two consecutive full runs (first-run
-    # residue — lazy JIT tiers, THP collapse — still shows up otherwise;
-    # both runs recorded)
+    # steady-state guard: the first FULL-SIZE runs on a fresh JVM absorb
+    # one-time machine costs — JVM heap first-touch, khugepaged collapse
+    # storms as 32 python workers allocate their pools simultaneously —
+    # that inflate wall 3-5× on this VM class, and measured up to TWO
+    # consecutive slow runs before settling (round 2's 8→32 legs
+    # recorded exactly such poisoned pairs). Run untimed full-size
+    # passes until two consecutive runs agree within 20% (max 3), then
+    # time. All warm-run walls are recorded for transparency.
+    warm_walls = [round(run_suite(spark, images, entries, ref_keys,
+                                  pixel_sample=PIXEL_SAMPLE), 3)]
+    for _ in range(2):
+        cur = round(run_suite(spark, images, entries, ref_keys,
+                              pixel_sample=PIXEL_SAMPLE), 3)
+        prev = warm_walls[-1]
+        warm_walls.append(cur)
+        if abs(cur - prev) / prev < 0.2:
+            break
     t_run1 = run_suite(spark, images, entries, ref_keys,
                        pixel_sample=PIXEL_SAMPLE)
     t_run2 = run_suite(spark, images, entries, ref_keys,
@@ -195,6 +209,7 @@ def main() -> None:
             "value": round(t_full, 3),
             "unit": "sec",
             "queries": timings,
+            "warm_full_runs": warm_walls,
             "sf": float(sf),
             "images_rows": n_rows,
             "images_per_sec": round(n_rows / t_full, 1),
@@ -231,6 +246,7 @@ def main() -> None:
         "value": round(t_full, 3),
         "unit": "sec",
         "queries": timings,
+        "warm_full_runs": warm_walls,
         "sf": float(sf),
         "images_rows": n_rows,
         "images_per_sec": round(n_rows / t_full, 1),

@@ -199,7 +199,12 @@ def run_validation(
                       file=sys.stderr)
             return out
 
-        with ThreadPoolExecutor(max_workers=len(pieces)) as ex:
+        # PDVS_RUNNER_POOL caps how many checks materialize at once
+        # (default: all). Fewer concurrent jobs = less task-set
+        # interleaving between bandwidth-heavy (integrity) and cache-
+        # sensitive (join/agg) stages on one shared memory bus.
+        pool = int(os.environ.get("PDVS_RUNNER_POOL", "0")) or len(pieces)
+        with ThreadPoolExecutor(max_workers=pool) as ex:
             pieces = list(ex.map(_mat, zip(piece_names, pieces)))
     if pieces:
         violations = pieces[0]
