@@ -104,13 +104,18 @@ def run_validation(
     # ONE scan builds the (partition, w, h, fmt) data cube; the three
     # drift histograms AND the per-partition row counts all derive from
     # it without touching the table again (w/h/fmt are low-cardinality,
-    # so the cube is tiny: |parts| × |w| × |h| × |fmt| rows)
+    # so the cube is tiny: |parts| × |w| × |h| × |fmt| rows). Eager
+    # localCheckpoint, not .cache(): a cache entry would outlive the
+    # report in the session CacheManager (repeated run_validation calls
+    # leak), while checkpoint blocks are reclaimed when the report's
+    # plans are garbage-collected — and every consumer needs the cube
+    # materialized anyway.
     cube = (
         images.groupBy(
             part.cast("int").alias("partition_id"), "w", "h", "fmt"
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
 
     if "schema" in checks:
@@ -181,14 +186,8 @@ def run_validation(
         from concurrent.futures import ThreadPoolExecutor
 
         timing = os.environ.get("PDVS_RUNNER_TIMING") == "1"
-
-        # drift pieces share `cube` — materialize it once up front so
-        # concurrent branches don't race to compute the cached plan
-        t0 = time.time()
-        cube.count()
-        if timing:
-            print(f"[runner] cube {time.time() - t0:7.2f}s",
-                  file=sys.stderr)
+        # (the shared cube is already materialized — eager checkpoint —
+        # so concurrent drift branches can't race to compute it)
 
         def _mat(arg: tuple[str, DataFrame]) -> DataFrame:
             name, df = arg
@@ -212,7 +211,12 @@ def run_validation(
             violations = violations.unionByName(p)
     else:
         violations = spark.createDataFrame([], VIOLATION_SCHEMA)
-    violations = violations.cache()
+    # lazy localCheckpoint (materializes at the first action, reused by
+    # the rollup, summary and caller reads): unlike .cache() the blocks
+    # are reclaimed when the report is garbage-collected, so a consumer
+    # that never calls unpersist() — the CLI, a notebook loop — cannot
+    # leak executor storage across run_validation calls
+    violations = violations.localCheckpoint(eager=False)
 
     rows_per_part = cube.groupBy("partition_id").agg(
         F.sum("n").alias("n_rows")
