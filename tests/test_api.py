@@ -139,3 +139,63 @@ def test_sanction_file_env_precedence(spark, tmp_path_factory, monkeypatch):
 
     v_explicit = SanctionsValidator(spark, sanction_path=explicit_path)
     assert v_explicit.data().count() == 3
+
+
+def test_unstamped_update_preserves_epochs_and_content(spark, tmp_path_factory):
+    """ADVICE r2: update_data WITHOUT updated_by_source (the pre-existing
+    default API) must not reset persisted publish epochs — an identical
+    unstamped re-fetch is a no-op (the reference's `//= 0` default
+    applies to never-seen sources only, Sanctions.pm:59)."""
+    path = str(tmp_path_factory.mktemp("unstamped") / "entries.parquet")
+    base = synth_entries(spark, n_extra=5)
+    base.write.mode("overwrite").parquet(path)
+
+    v = SanctionsValidator(spark, sanction_path=path)
+    v._last_load = 0
+    v.update_data(base, updated_by_source={"EU-Sanctions": 1690000000})
+    assert v.last_updated("EU-Sanctions") == 1690000000
+
+    # identical re-fetch, NO stamps: nothing changed, epoch kept
+    v._last_load = 0
+    decisions = {
+        r["source"]: r for r in v.update_data(base).collect()
+    }
+    assert not decisions["EU-Sanctions"]["changed"]
+    assert v.last_updated("EU-Sanctions") == 1690000000
+
+    # a fresh validator reading persisted state agrees
+    v2 = SanctionsValidator(spark, sanction_path=path)
+    assert v2.last_updated("EU-Sanctions") == 1690000000
+
+
+def test_publish_retains_previous_version(spark, tmp_path_factory):
+    """ADVICE r2: the symlink swap must NOT delete the version a
+    concurrent reader may still be scanning — the newest versions are
+    retained (deferred GC), and only older ones are collected."""
+    import glob
+    import os
+
+    path = str(tmp_path_factory.mktemp("retain") / "entries.parquet")
+    v = SanctionsValidator(spark, sanction_path=path)
+    e = synth_entries(spark, n_extra=2)
+
+    v._publish_parquet(e, path)
+    first_target = os.path.realpath(path)
+    # a reader resolves the current version NOW (simulating a mid-scan
+    # plan holding the old realpath)...
+    reader = spark.read.parquet(first_target)
+
+    v._publish_parquet(e.limit(3), path)
+    # ...and must still be able to execute after the swap
+    assert os.path.isdir(first_target)
+    assert reader.count() == e.count()
+    assert os.path.realpath(path) != first_target
+
+    # a third publish collects the oldest version but keeps the last 2
+    v._publish_parquet(e.limit(1), path)
+    versions = sorted(
+        x for x in glob.glob(path + ".v*") if os.path.isdir(x)
+    )
+    assert len(versions) == 2
+    assert not os.path.isdir(first_target)
+    assert spark.read.parquet(path).count() == 1
