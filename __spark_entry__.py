@@ -833,6 +833,40 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against a WRITTEN index (operators/similarity.py:
+    write_ivf_index / ivf_ann_topk_indexed): the embeddings table is
+    materialized partitioned by ``ivf_cluster`` and the probe union is
+    pushed as a partition predicate — the physical-pruning path
+    (PartitionFilters; pruning ratio pinned by
+    tests/test_pipeline_ops.py::test_ivf_indexed_partition_pruning).
+    Full probe here so results ≡ brute force and the exact-cosine SQL
+    is the oracle; the index is rewritten per call (500-row table) into
+    the repo-local bench cache."""
+    import os
+
+    from perl_data_validate_sanctions_spark.operators.similarity import (
+        ivf_ann_topk_indexed,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_centroids=8, dim=64, iterations=1)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.bench_cache/ivf_index_{sf_tag}.parquet"
+    write_ivf_index(emb, centroids, path)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_ann_topk_indexed(
+        spark, path, queries, centroids, k=5, n_probe=8
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (hyperplane-bucketed,
     cosine-verified, operators/similarity.py:embedding_near_dup_pairs).
@@ -1053,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_ann_topk_indexed": q_ivf_ann_topk_indexed,
         "embedding_near_dups": q_embedding_near_dups,
         "image_features": q_image_features,
         "curate_corpus": q_curate_corpus,
@@ -1086,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         "content_hash_scalable": _CONTENT_HASH_SCALABLE_ORACLE,
         "incremental_merge": _MERGE_ORACLE,
         "ivf_ann_topk": _ANN_ORACLE,  # full-probe IVF ≡ brute force
+        "ivf_ann_topk_indexed": _ANN_ORACLE,  # same, via the written index
         "curate_corpus": _CURATE_ORACLE,
         # LSH banding at these params provably recalls every J≥0.3 pair
         # of this corpus family (see q_minhash_lsh_pairs docstring), so
