@@ -203,8 +203,18 @@ def run_validation(
         # interleaving between bandwidth-heavy (integrity) and cache-
         # sensitive (join/agg) stages on one shared memory bus.
         pool = int(os.environ.get("PDVS_RUNNER_POOL", "0")) or len(pieces)
-        with ThreadPoolExecutor(max_workers=pool) as ex:
-            pieces = list(ex.map(_mat, zip(piece_names, pieces)))
+        # the one-pass column stats ride the same pool: it's an
+        # independent scan the caller will collect anyway, so its job
+        # overlaps the check jobs instead of running serially after them
+        jobs = list(zip(piece_names, pieces))
+        if with_stats:
+            jobs.append(("stats", column_stats(images)))
+        with ThreadPoolExecutor(max_workers=pool + (1 if with_stats else 0)) as ex:
+            results = list(ex.map(_mat, jobs))
+        stats_df = results.pop() if with_stats else None
+        pieces = results
+    else:
+        stats_df = column_stats(images) if with_stats else None
     if pieces:
         violations = pieces[0]
         for p in pieces[1:]:
@@ -239,11 +249,10 @@ def run_validation(
         .agg(F.count(F.lit(1)).alias("n_violations"))
         .orderBy("check")
     )
-    stats = column_stats(images) if with_stats else None
     return ValidationReport(
         violations=violations,
         partition_verdicts=partition_verdicts,
         check_summary=check_summary,
-        stats=stats,
+        stats=stats_df,
         drift_results=drift_results,
     )
