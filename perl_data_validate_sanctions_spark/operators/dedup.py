@@ -74,10 +74,10 @@ def _shingle_table(
     shingle compute; CACHED because every consumer (sizes, explode,
     verify) re-reads it — and the columnar in-memory relation lets each
     consumer prune to the columns it needs (measured 2-4× faster than a
-    row-based localCheckpoint for the count-verify path). The cache
-    entry's lifetime is tied to the consuming plan by the caller via
-    :func:`_tie_unpersist`, so repeated dedup calls don't leak executor
-    storage for the session lifetime."""
+    row-based localCheckpoint for the count-verify path). The caller
+    owns the cache's lifetime via :func:`_finish_pairs`, so repeated
+    dedup calls don't leak executor storage for the session
+    lifetime."""
     sh = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2,
                        F.col(id_col))
@@ -87,26 +87,24 @@ def _shingle_table(
     return sh.cache() if cache else sh
 
 
-def _tie_unpersist(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Unpersist ``cached`` when ``result`` is garbage-collected.
+def _finish_pairs(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Materialize the pair result, then release the shingle cache.
 
     ``.cache()`` entries live in the session CacheManager until an
     explicit unpersist — an operator that caches an intermediate and
-    returns a lazy plan would otherwise leak storage on every call.
-    A weakref finalizer fires the unpersist exactly when the returned
-    plan dies; unpersist is always correctness-safe in Spark (derived
-    plans simply recompute), so a caller keeping a *derived* DataFrame
-    alive past the returned one merely loses the cache speedup."""
-    import weakref
-
-    def _cleanup(c=cached):
-        try:
-            c.unpersist()
-        except Exception:  # noqa: BLE001 - session may already be gone
-            pass
-
-    weakref.finalize(result, _cleanup)
-    return result
+    returns a lazy plan either leaks storage on every call or forces
+    cache-lifetime bookkeeping onto every caller. Instead the pair set
+    (small by near-duplication's nature — it is the operator's OUTPUT,
+    orders of magnitude below the input) is eagerly localCheckpointed:
+    the expensive shingle reuse happens exactly once, under the cache,
+    inside this call; the cache is dropped deterministically before
+    returning; and the returned DataFrame is a cheap block-backed scan
+    whose storage the ContextCleaner reclaims when the caller drops
+    it. Callers that need a fully lazy plan pass ``cache=False`` to
+    the operator and own the recomputation trade themselves."""
+    out = result.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -167,7 +165,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-        return _tie_unpersist(out, sh) if cache else out
+        return _finish_pairs(out, sh) if cache else out
     sizes = sh.select("id", F.size("sh").alias("n"))
     inter = (
         exploded.alias("a")
@@ -192,7 +190,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _tie_unpersist(out, sh) if cache else out
+    return _finish_pairs(out, sh) if cache else out
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -285,7 +283,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _tie_unpersist(out, sh)
+    return _finish_pairs(out, sh)
 
 
 # --- SimHash -----------------------------------------------------------------
