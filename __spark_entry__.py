@@ -548,11 +548,16 @@ rest AS (SELECT pid, v, n, gn - n AS rn FROM grid),
 rt AS (SELECT pid, sum(rn) AS rtot FROM rest GROUP BY pid),
 own AS (SELECT pid, sum(n) AS no FROM grid GROUP BY pid)
 SELECT r.pid AS partition_id,
-       round(sum(pow(r.n - (r.rn / rt.rtot) * ow.no, 2)
-                 / ((r.rn / rt.rtot) * ow.no)), 4) AS statistic,
+       -- both engine terms (chi2_from_counts): regular cells use
+       -- (obs-exp)^2/exp; observed mass on zero-expected cells gets
+       -- the capped n*1e6 penalty (summing n*1e6 over cells equals
+       -- the engine's extra*1e6). The CASE also keeps the degenerate
+       -- all-zero-rest (single-partition) case division-free.
+       round(sum(CASE WHEN r.rn = 0 THEN r.n * 1e6
+                 ELSE pow(r.n - (r.rn / rt.rtot) * ow.no, 2)
+                      / ((r.rn / rt.rtot) * ow.no) END), 4) AS statistic,
        CAST(ow.no AS BIGINT) AS n
 FROM rest r JOIN rt USING (pid) JOIN own ow USING (pid)
-WHERE r.rn > 0  -- the engine's zero-expected mask (chi2_from_counts)
 GROUP BY r.pid, ow.no
 """
 

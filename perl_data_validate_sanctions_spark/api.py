@@ -121,11 +121,24 @@ class SanctionsValidator:
             os.rename(path, f"{path}.v{time.time_ns()}")
         os.rename(tmp_link, path)  # atomic: replaces file/symlink
         # deferred GC: drop all but the newest keep_versions versions;
-        # the live target is always protected
+        # the live target is always protected. glob.escape guards paths
+        # containing glob metacharacters (unescaped they'd match nothing
+        # → no GC → unbounded disk growth); ordering parses the
+        # monotonic v<time_ns> suffix the name already embeds — mtime is
+        # fragile (rename-preserved/restored dirs can misorder and GC a
+        # version a retained reader still holds).
         live = os.path.realpath(path)
+
+        def _vns(v: str) -> int:
+            try:
+                return int(v.rsplit(".v", 1)[1])
+            except ValueError:
+                return -1  # malformed suffix sorts oldest
+
         versions = sorted(
-            (v for v in glob.glob(f"{path}.v*") if os.path.isdir(v)),
-            key=os.path.getmtime,
+            (v for v in glob.glob(glob.escape(path) + ".v*")
+             if os.path.isdir(v)),
+            key=_vns,
             reverse=True,
         )
         for stale in versions[max(keep_versions, 1):]:

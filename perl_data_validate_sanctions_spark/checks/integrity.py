@@ -37,9 +37,12 @@ Two evaluation modes:
   inside the unsampled pixels) requires exact mode — documented here
   and in SCALING.md.
 
-The decode itself is the deterministic stub codec (sources/codec.py) —
-the container has no image libraries; swap ``codec.decode`` for a real
-decoder to productionize. Per-partition error isolation mirrors the
+The decode is format-sniffed per row: payloads bearing the PNG
+signature take the REAL end-to-end path (stdlib zlib + unfiltering,
+sources/png.py — no image libraries needed) with the same PSNR gate;
+synthetic PDVS1 payloads use the deterministic stub codec
+(sources/codec.py). Other real formats (JPEG) still await Pillow —
+see ``codec.real_decode``. Per-partition error isolation mirrors the
 reference's per-source try/except (Fetcher.pm:830-859): a row that
 fails to decode becomes a violation row, never a task failure."""
 
@@ -54,9 +57,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..schema import VIOLATION_SCHEMA
-from ..sources import codec
+from ..sources import codec, png
 
 _OUT = "partition_id int, image_id string, column string, detail string"
+
+
+def _check_png_row(
+    pid: int,
+    iid: str,
+    blob: bytes,
+    col_w: int,
+    col_h: int,
+    col_fmt: str,
+    mse_limit: float,
+    thr: float,
+) -> list[tuple]:
+    """Integrity verdict for one PNG payload: stdlib decode, header
+    cross-check, exact full-pixel PSNR vs the reference image."""
+    try:
+        dw, dh, pixels = png.decode_png_gray(blob)
+    except ValueError as e:
+        return [(pid, iid, "bytes", f"undecodable payload: {e}")]
+    if (dw, dh, "png") != (col_w, col_h, col_fmt):
+        return [(pid, iid, "bytes",
+                 f"header (png,{dw},{dh}) != columns "
+                 f"({col_fmt},{col_w},{col_h})")]
+    ref = codec.decode_reference(iid, dw, dh)
+    d = pixels.astype(np.int64) - ref.astype(np.int64)
+    mse = float(np.mean(d * d))
+    if mse > mse_limit:
+        p_db = codec.psnr_from_mse(mse)
+        return [(pid, iid, "bytes", f"psnr {p_db:.1f} dB < {thr:.0f} dB")]
+    return []
 
 PSNR_THRESHOLD_DB = 40.0
 
@@ -219,6 +251,19 @@ def integrity_violations(
                 iid = ids[i]
                 if blob is None:
                     out.append((int(parts[i]), iid, "bytes", "null payload"))
+                    continue
+                if bytes(blob[:8]) == png.PNG_MAGIC:
+                    # real-decode mode: PNG payloads decode end-to-end
+                    # via the stdlib codec; pixels compare against the
+                    # same reference under the same PSNR gate. PNG rows
+                    # carry explicit pixels, so the sampled fast path
+                    # doesn't apply (decode already touches every byte).
+                    out.extend(
+                        _check_png_row(
+                            int(parts[i]), iid, bytes(blob),
+                            int(ws[i]), int(hs[i]), fmts[i], mse_limit, thr,
+                        )
+                    )
                     continue
                 try:
                     p = bytes(blob).split(b"|")

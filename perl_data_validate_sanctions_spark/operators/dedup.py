@@ -14,6 +14,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -87,7 +89,7 @@ def _shingle_table(
     return sh.cache() if cache else sh
 
 
-def _finish_pairs(result: DataFrame, cached: DataFrame) -> DataFrame:
+def _finish_pairs(result: DataFrame, cached: DataFrame | None) -> DataFrame:
     """Materialize the pair result, then release the shingle cache.
 
     ``.cache()`` entries live in the session CacheManager until an
@@ -98,13 +100,50 @@ def _finish_pairs(result: DataFrame, cached: DataFrame) -> DataFrame:
     orders of magnitude below the input) is eagerly localCheckpointed:
     the expensive shingle reuse happens exactly once, under the cache,
     inside this call; the cache is dropped deterministically before
-    returning; and the returned DataFrame is a cheap block-backed scan
-    whose storage the ContextCleaner reclaims when the caller drops
-    it. Callers that need a fully lazy plan pass ``cache=False`` to
-    the operator and own the recomputation trade themselves."""
+    returning (``cached=None`` when the caller owns a shared cache —
+    see :func:`shingle_cache`); and the returned DataFrame is a cheap
+    block-backed scan whose storage the ContextCleaner reclaims when
+    the caller drops it. Callers that need a fully lazy plan pass
+    ``cache=False`` to the operator and own the recomputation trade
+    themselves.
+
+    CLUSTER CAVEAT: ``localCheckpoint`` blocks are stored on executors
+    without replication — an executor loss makes the checkpointed
+    result unrecoverable (no lineage to recompute). Acceptable for the
+    small pair sets here when the caller writes them out promptly; for
+    long-lived cluster jobs, pass ``cache=False`` and persist the lazy
+    plan to a real table/checkpoint instead."""
     out = result.localCheckpoint(eager=True)
-    cached.unpersist()
+    if cached is not None:
+        cached.unpersist()
     return out
+
+
+@contextmanager
+def shingle_cache(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 3
+):
+    """Suite-scoped shared shingle table.
+
+    ``ngram_jaccard_pairs`` and ``minhash_lsh_pairs`` each need the
+    same (id, shingle-set) table; run standalone, each builds and
+    releases its own (the round-3 leak fix made that deterministic —
+    and made a dedup *suite* pay the shingle build twice). This scopes
+    ONE cached build across several operator calls with the same
+    deterministic release:
+
+        with shingle_cache(docs, w=3) as sh:
+            nj = ngram_jaccard_pairs(docs, w=3, shingles=sh)
+            mh = minhash_lsh_pairs(docs, w=3, shingles=sh)
+        # cache entry released here; nj/mh are materialized pair sets
+
+    The operators localCheckpoint their (small) pair outputs while the
+    cache is live, so nothing recomputes shingles after release."""
+    sh = _shingle_table(df, text_col, id_col, w, cache=True)
+    try:
+        yield sh
+    finally:
+        sh.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -115,6 +154,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     cache: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold.
 
@@ -134,8 +174,15 @@ def ngram_jaccard_pairs(
     shingle shared by millions of docs proposes no useful pair anyway).
     O(candidate pairs) either way; use :func:`minhash_lsh_pairs` when
     even capped candidates are too many.
+
+    ``shingles``: a shared table from :func:`shingle_cache` (must have
+    been built with the same ``w``); the operator then neither builds
+    nor releases it. ``cache=False`` returns the fully lazy plan (the
+    caller owns recomputation); see :func:`_finish_pairs` for the
+    localCheckpoint executor-loss caveat of the eager default.
     """
-    sh = _shingle_table(df, text_col, id_col, w, cache)
+    own = shingles is None
+    sh = _shingle_table(df, text_col, id_col, w, cache) if own else shingles
     exploded = sh.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
         rare = (
@@ -165,7 +212,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-        return _finish_pairs(out, sh) if cache else out
+        return _finish_pairs(out, sh if own else None) if cache else out
     sizes = sh.select("id", F.size("sh").alias("n"))
     inter = (
         exploded.alias("a")
@@ -190,7 +237,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _finish_pairs(out, sh) if cache else out
+    return _finish_pairs(out, sh if own else None) if cache else out
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -224,6 +271,8 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    cache: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs, exact-Jaccard verified.
 
@@ -232,9 +281,19 @@ def minhash_lsh_pairs(
     only from shared band buckets, so the all-pairs explosion of
     :func:`ngram_jaccard_pairs` never happens; hot buckets are bounded
     by banding (r rows per band) rather than by data skew.
+
+    ``cache=True`` (default) materializes the pair set eagerly inside
+    the call (localCheckpoint) and releases the internal shingle cache
+    before returning — callers that need a lazy plan to push further
+    filters/limits into pass ``cache=False`` and own the recomputation
+    trade (see :func:`_finish_pairs` for the localCheckpoint
+    executor-loss caveat). ``shingles``: a shared table from
+    :func:`shingle_cache` (same ``w``); the operator then neither
+    builds nor releases it.
     """
     rows_per_band = k // bands
-    sh = _shingle_table(df, text_col, id_col, w, cache=True)
+    own = shingles is None
+    sh = _shingle_table(df, text_col, id_col, w, cache) if own else shingles
     sig = sh.select("id", minhash_signature(F.col("sh"), k).alias("sig"))
     # band explode carries ONLY (id, band, bucket) — never the shingle
     # array (the old 32-way explode duplicated every shingle set 32×
@@ -283,7 +342,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _finish_pairs(out, sh)
+    return _finish_pairs(out, sh if own else None) if cache else out
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -266,6 +266,53 @@ def match_probes(
     return out.drop("__pid", "__best")
 
 
+def _with_physical_row_key(
+    images: DataFrame, id_col: str, caption_col: str
+) -> DataFrame:
+    """Attach a per-PHYSICAL-row key ``(__rfile, __rid)`` to the probe
+    projection.
+
+    Preferred source: the file-source ``_metadata`` hidden column
+    (``file_path`` + ``row_index``) — fully DETERMINISTIC under task
+    retry / speculative execution, because a recomputed split re-reads
+    the same file rows at the same indices. This is the path every
+    file-backed (parquet/Iceberg) input takes, i.e. the real-cluster
+    hot path.
+
+    Fallback (inputs with no file provenance, e.g. in-memory test
+    frames): ``monotonically_increasing_id``. CAVEAT (contract): the
+    fallback key is nondeterministic across task retries — if an
+    upstream map task is recomputed after some reducers fetched its
+    output, recomputed rows get different ids (SPARK-23207 class),
+    which can duplicate/drop verdict rows for physical duplicates. On
+    a cluster, feed file-backed frames; the fallback exists for local
+    ephemeral inputs only.
+    """
+    cols = [F.col(id_col).alias("__pid"), F.col(caption_col)]
+    # inputFiles() pre-filter: in-memory/synthetic frames have no file
+    # provenance, so don't even attempt the _metadata resolution there —
+    # a raised-and-caught AnalysisException would be logged loudly by
+    # Spark 4's DataFrameQueryContextLogger on every call.
+    try:
+        file_backed = bool(images.inputFiles())
+    except Exception:  # pragma: no cover - defensive
+        file_backed = False
+    if file_backed:
+        try:
+            return images.select(
+                *cols,
+                F.col("_metadata.file_path").alias("__rfile"),
+                F.col("_metadata.row_index").alias("__rid"),
+            )
+        except Exception:  # _metadata pruned by an upstream projection
+            pass
+    return images.select(
+        *cols,
+        F.lit("").alias("__rfile"),
+        F.monotonically_increasing_id().alias("__rid"),
+    )
+
+
 def match_captions(
     images: DataFrame,
     entries: DataFrame,
@@ -288,7 +335,10 @@ def match_captions(
     duplicate is its own violation;
     tests/test_matcher.py::test_caption_match_native_and_arrow_agree
     pins both paths on a dup-id fixture). Dedup within one physical
-    row's candidates uses an internal per-row key, never image_id.
+    row's candidates uses an internal per-row key, never image_id —
+    derived from file provenance (retry-deterministic) for file-backed
+    inputs; see :func:`_with_physical_row_key` for the in-memory
+    fallback and its retry caveat.
     """
     token_index = F.broadcast(
         build_token_index(build_name_dim(entries)).select(
@@ -299,21 +349,22 @@ def match_captions(
             _DIM_PREFIX + "name_tokens",
         )
     )
+    # per-PHYSICAL-row key: grouping on image_id would silently merge
+    # duplicate-id rows into one verdict (the round-2 native/arrow
+    # divergence). File-backed inputs get a retry-deterministic
+    # (file_path, row_index) key; see _with_physical_row_key.
     prepared = (
-        images.select(
-            F.col(id_col).alias("__pid"),
-            clean_name_tokens(F.col(caption_col)).alias("__ptokens"),
-        )
+        _with_physical_row_key(images, id_col, caption_col)
+        .withColumn("__ptokens", clean_name_tokens(F.col(caption_col)))
         .filter(F.size("__ptokens") > 0)
-        # per-PHYSICAL-row key: grouping on image_id would silently
-        # merge duplicate-id rows into one verdict (the round-2 native/
-        # arrow divergence); the id is nondeterministic across runs but
-        # only ever used as a grouping key inside this one plan
-        .withColumn("__rid", F.monotonically_increasing_id())
     )
 
     exploded = prepared.select(
-        "__rid", "__pid", "__ptokens", F.explode("__ptokens").alias("__token")
+        "__rfile",
+        "__rid",
+        "__pid",
+        "__ptokens",
+        F.explode("__ptokens").alias("__token"),
     )
     joined = exploded.join(token_index, "__token")
 
@@ -324,11 +375,12 @@ def match_captions(
     min_size = F.least(F.size("__ptokens"), F.size(ntokens))
     name_ok = (n_hits > 1) | ((n_hits == 1) & (min_size == 1))
 
+    # __pid is functionally dependent on the row key, so carrying it in
+    # the group key is free and drops the first() aggregate.
     best = (
         joined.filter(name_ok)
-        .groupBy("__rid")
+        .groupBy("__rfile", "__rid", "__pid")
         .agg(
-            F.first("__pid").alias("__pid"),
             F.min(
                 F.struct(
                     _e("source").alias("list"),

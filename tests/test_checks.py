@@ -222,3 +222,21 @@ def test_schema_violations_clean_and_dirty(spark, images):
     assert sum(1 for r in v if r["column"] == "fmt") == 10
     assert sum(1 for r in v if r["column"] == "w") == 5
     assert len(v) == 15
+
+
+def test_drift_chi2_single_partition_degenerate(spark):
+    """When one partition IS the whole table, the rest-of-table holdout
+    is empty: every observed count sits on a zero-expected category, so
+    the statistic is the capped penalty (n · 1e6) with dof 0 → p = 1.0,
+    drifted False. Pinned so the contract is chosen, not accidental
+    (chi2_from_counts returns (stat, 1.0, 0) when the mask is empty)."""
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3, "v string"
+    )
+    res = drift_check(df, "v", F.lit(0), kind="chi2").collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r["n"] == 10
+    assert r["statistic"] == pytest.approx(10 * 1e6)
+    assert r["p_value"] == 1.0
+    assert r["drifted"] is False

@@ -240,3 +240,33 @@ def test_caption_match_dup_id_rows_each_get_a_verdict(spark):
         assert len(rows) == 2, matcher.__name__
         assert all(r["image_id"] == "img-dup" for r in rows)
         assert len({r["matched_name"] for r in rows}) == 1
+
+
+def test_caption_match_file_backed_key_is_deterministic(spark, tmp_path):
+    """File-backed inputs take the _metadata (file_path, row_index) row
+    key — deterministic under task retry (the ADVICE r3 hazard with
+    monotonically_increasing_id). Duplicate physical rows in a parquet
+    file still each get a verdict, and the prepared plan really carries
+    file provenance (non-empty __rfile)."""
+    from perl_data_validate_sanctions_spark.operators.matcher import (
+        _with_physical_row_key,
+    )
+
+    p = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(
+        [
+            ("img-dup", "A photo of Abu Salem in Rivertown"),
+            ("img-dup", "A photo of Abu Salem in Rivertown"),
+            ("img-other", "An ordinary landscape"),
+        ],
+        "image_id string, caption string",
+    ).repartition(1).write.parquet(p)
+    images = spark.read.parquet(p)
+    keyed = _with_physical_row_key(images, "image_id", "caption")
+    rows = keyed.collect()
+    assert all(r["__rfile"].startswith("file:") for r in rows)
+    assert len({(r["__rfile"], r["__rid"]) for r in rows}) == 3
+    entries = synth_entries(spark)
+    out = match_captions(images, entries).collect()
+    assert len(out) == 2
+    assert all(r["image_id"] == "img-dup" for r in out)

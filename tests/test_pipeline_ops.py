@@ -307,3 +307,53 @@ def test_ivf_ann(spark, emb):
     top1 = {r["query_id"]: r["vec_id"] for r in one_probe.collect()
             if r["rank"] == 1}
     assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def _n_cache_entries(spark) -> int:
+    """DataFrame-cache entries in the session CacheManager (private but
+    stable API; the leak assertion the dedup operators are pinned on)."""
+    return (
+        spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+    )
+
+
+def test_shared_shingle_cache_suite(spark, docs):
+    """shingle_cache scopes ONE shingle build across both pair
+    operators: results identical to standalone runs, and the
+    CacheManager holds no extra entries once the context exits."""
+    from perl_data_validate_sanctions_spark.operators.dedup import (
+        shingle_cache,
+    )
+
+    uniq = exact_dedup(docs)
+    standalone_nj = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                     for r in ngram_jaccard_pairs(uniq, threshold=0.5).collect()}
+    standalone_mh = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                     for r in minhash_lsh_pairs(uniq, threshold=0.5).collect()}
+    before = _n_cache_entries(spark)
+    with shingle_cache(uniq, w=3) as sh:
+        inside = _n_cache_entries(spark)
+        nj = ngram_jaccard_pairs(uniq, threshold=0.5, shingles=sh)
+        mh = minhash_lsh_pairs(uniq, threshold=0.5, shingles=sh)
+    assert inside == before + 1
+    assert _n_cache_entries(spark) == before
+    # results were materialized under the cache and survive its release
+    shared_nj = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                 for r in nj.collect()}
+    shared_mh = {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                 for r in mh.collect()}
+    assert shared_nj == standalone_nj
+    assert shared_mh == standalone_mh
+
+
+def test_minhash_lazy_opt_out(spark, docs):
+    """cache=False returns a fully lazy plan (no materialization inside
+    the call, no cache entries created) with the same pair set."""
+    uniq = exact_dedup(docs)
+    before = _n_cache_entries(spark)
+    lazy = minhash_lsh_pairs(uniq, threshold=0.5, cache=False)
+    assert _n_cache_entries(spark) == before  # nothing cached or run yet
+    eager = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(uniq, threshold=0.5).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in lazy.collect()} == eager
+    assert _n_cache_entries(spark) == before
