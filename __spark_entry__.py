@@ -988,6 +988,92 @@ def _image_features_oracle() -> str:
     )
 
 
+def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize (operators/multimodal.py resize_images — one
+    fancy-index gather per (w,h,amp) group) over the pinned payload
+    set, verified by thumb-bytes md5 against the independent per-row
+    decode + per-image nearest-neighbor gather (golden VALUES)."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    rows = [
+        (iid, bytearray(_img_payload(fmt, w, h, seed, amp)))
+        for iid, fmt, w, h, seed, amp in IMG_FEATURE_PARAMS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = resize_images(df, target_w=8, target_h=6)
+    return out.select(
+        "image_id", "w", "h", F.md5("thumb").alias("thumb_md5")
+    )
+
+
+def _resize_images_oracle() -> str:
+    import hashlib
+
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.sources import codec
+
+    tw, th = 8, 6
+    vals = []
+    for iid, fmt, w, h, seed, amp in IMG_FEATURE_PARAMS:
+        _, _, _, px = codec.decode(_img_payload(fmt, w, h, seed, amp))
+        ys = (np.arange(th) * h // th).clip(0, h - 1)
+        xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+        thumb = px[np.ix_(ys, xs)]
+        vals.append(
+            f"('{iid}', {tw}, {th}, "
+            f"'{hashlib.md5(thumb.tobytes()).hexdigest()}')"
+        )
+    return (
+        "SELECT image_id, w, h, thumb_md5 FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, w, h, thumb_md5)"
+    )
+
+
+def q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (operators/multimodal.py sample_frames — per-band
+    group-wide reductions) over the pinned payload set, verified
+    against the independent per-row decode + np.array_split band means
+    (golden VALUES)."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    rows = [
+        (iid, bytearray(_img_payload(fmt, w, h, seed, amp)))
+        for iid, fmt, w, h, seed, amp in IMG_FEATURE_PARAMS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = sample_frames(df, every_n=4, n_frames=16)
+    return out.select(
+        "image_id", "frame_idx",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+def _sample_frames_oracle() -> str:
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.sources import codec
+
+    every_n, n_frames = 4, 16
+    vals = []
+    for iid, fmt, w, h, seed, amp in IMG_FEATURE_PARAMS:
+        _, _, _, px = codec.decode(_img_payload(fmt, w, h, seed, amp))
+        bands = np.array_split(px, min(n_frames, h), axis=0)
+        for bi in range(0, len(bands), every_n):
+            vals.append(f"('{iid}', {bi}, {float(bands[bi].mean())!r})")
+    return (
+        "SELECT image_id, frame_idx, round(frame_mean, 4) AS frame_mean "
+        "FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, frame_idx, frame_mean)"
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation pipeline: quality gate →
     exact dedup (normalized-md5, min-id survivor) → near-dup removal
@@ -1095,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk_indexed": q_ivf_ann_topk_indexed,
         "embedding_near_dups": q_embedding_near_dups,
         "image_features": q_image_features,
+        "resize_images": q_resize_images,
+        "sample_frames": q_sample_frames,
         "curate_corpus": q_curate_corpus,
     }
 
@@ -1140,4 +1228,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _EMB_NEAR_DUP_ORACLE,
         # golden VALUES from the independent per-row decode path
         "image_features": _image_features_oracle(),
+        "resize_images": _resize_images_oracle(),
+        "sample_frames": _sample_frames_oracle(),
     }

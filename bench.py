@@ -132,12 +132,58 @@ def main() -> None:
             match_captions_arrow,
         )
 
-        t0 = time.time()
-        match_captions(images, entries).count()
-        timings["match_captions_native"] = round(time.time() - t0, 3)
+        # three isolated timings (median): a single sample on this
+        # credit-throttled VM can read 1.5-2× off; the runs list is
+        # recorded so spread is visible in the artifact
+        native_runs = []
+        for _ in range(3):
+            t0 = time.time()
+            match_captions(images, entries).count()
+            native_runs.append(round(time.time() - t0, 3))
+        timings["match_captions_native"] = sorted(native_runs)[1]
         t0 = time.time()
         match_captions_arrow(images, entries).count()
         timings["match_captions_arrow"] = round(time.time() - t0, 3)
+
+        # full bundled dimension: the bench entries table is 212
+        # entries + personas; the reference ships 15,664 entries
+        # (share/sanctions.yml). One timed pass on each matcher path
+        # shows the broadcast token index holds at real dimension size.
+        _BUNDLED_YML = "/root/reference/share/sanctions.yml"
+        if os.path.exists(_BUNDLED_YML):
+            from perl_data_validate_sanctions_spark.sources.yaml_io import (
+                load_yaml_dataset,
+            )
+
+            full_entries, _ = load_yaml_dataset(spark, _BUNDLED_YML)
+            t0 = time.time()
+            match_captions(images, full_entries).count()
+            timings["match_captions_native_fulldim"] = round(
+                time.time() - t0, 3
+            )
+            t0 = time.time()
+            match_captions_arrow(images, full_entries).count()
+            timings["match_captions_arrow_fulldim"] = round(
+                time.time() - t0, 3
+            )
+
+        # dedup suite with ONE shared shingle cache (same operator
+        # params as the ngram/minhash driver queries, which each build
+        # their own shingle table when run standalone above)
+        from perl_data_validate_sanctions_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            shingle_cache,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.time()
+        with shingle_cache(docs, w=3) as sh:
+            ngram_jaccard_pairs(docs, w=3, threshold=0.3, shingles=sh).count()
+            minhash_lsh_pairs(
+                docs, w=3, k=64, bands=32, threshold=0.3, shingles=sh
+            ).count()
+        timings["dedup_suite_shared"] = round(time.time() - t0, 3)
 
         # single-node reference-shape proxy: the reference is a single-
         # threaded in-process engine (in-memory inverted token index +
@@ -218,6 +264,29 @@ def main() -> None:
         }))
         return
 
+    # suite with verdict/violation sinks written to parquet (the 100 TB
+    # story: artifacts land in a table, not the driver) — comparable to
+    # validate_full_suite just above (same size, same integrity mode)
+    import shutil
+    import tempfile
+
+    sink_dir = tempfile.mkdtemp(prefix="pdvs_sink_")
+    try:
+        t0 = time.time()
+        from perl_data_validate_sanctions_spark.plans.runner import (
+            run_validation,
+        )
+
+        rep = run_validation(images, entries=entries, ref_keys=ref_keys,
+                             pixel_sample=PIXEL_SAMPLE, sink_dir=sink_dir)
+        rep.partition_verdicts.collect()
+        rep.check_summary.collect()
+        if rep.stats is not None:
+            rep.stats.collect()
+        timings["validate_suite_sink"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+
     native_checks = (
         "schema", "unique_image_id", "unique_phash", "referential",
         "sanctioned",
@@ -247,6 +316,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "warm_full_runs": warm_walls,
+        "match_captions_native_runs": native_runs,
         "sf": float(sf),
         "images_rows": n_rows,
         "images_per_sec": round(n_rows / t_full, 1),

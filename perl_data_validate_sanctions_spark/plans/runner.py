@@ -74,9 +74,18 @@ def run_validation(
     with_stats: bool = True,
     pixel_sample: int | None = None,
     concurrent: bool = True,
+    sink_dir: str | None = None,
 ) -> ValidationReport:
     """Run the registered checks and roll violations into per-partition
     verdicts.
+
+    ``sink_dir``: when set, the violation rows are WRITTEN to
+    ``{sink_dir}/violations.parquet`` (and the rollups to
+    ``partition_verdicts.parquet`` / ``check_summary.parquet``) and the
+    returned report's DataFrames read back from those tables — the
+    production shape at 10^12 rows, where verdict/violation artifacts
+    land in a table, not the driver. Default (None) keeps the
+    collect-friendly localCheckpoint-backed report.
 
     ``concurrent`` (default): each check materializes as its OWN Spark
     job from a driver thread pool (eager localCheckpoint), then the
@@ -221,12 +230,21 @@ def run_validation(
             violations = violations.unionByName(p)
     else:
         violations = spark.createDataFrame([], VIOLATION_SCHEMA)
-    # lazy localCheckpoint (materializes at the first action, reused by
-    # the rollup, summary and caller reads): unlike .cache() the blocks
-    # are reclaimed when the report is garbage-collected, so a consumer
-    # that never calls unpersist() — the CLI, a notebook loop — cannot
-    # leak executor storage across run_validation calls
-    violations = violations.localCheckpoint(eager=False)
+    if sink_dir is not None:
+        # production sink: violations land in a parquet table and every
+        # downstream rollup scans the table — no driver-held blocks
+        import os as _os
+
+        viol_path = _os.path.join(sink_dir, "violations.parquet")
+        violations.write.mode("overwrite").parquet(viol_path)
+        violations = spark.read.schema(VIOLATION_SCHEMA).parquet(viol_path)
+    else:
+        # lazy localCheckpoint (materializes at the first action, reused
+        # by the rollup, summary and caller reads): unlike .cache() the
+        # blocks are reclaimed when the report is garbage-collected, so
+        # a consumer that never calls unpersist() — the CLI, a notebook
+        # loop — cannot leak executor storage across run_validation calls
+        violations = violations.localCheckpoint(eager=False)
 
     rows_per_part = cube.groupBy("partition_id").agg(
         F.sum("n").alias("n_rows")
@@ -249,6 +267,21 @@ def run_validation(
         .agg(F.count(F.lit(1)).alias("n_violations"))
         .orderBy("check")
     )
+    if sink_dir is not None:
+        import os as _os
+
+        for name, df in (
+            ("partition_verdicts", partition_verdicts),
+            ("check_summary", check_summary),
+        ):
+            p = _os.path.join(sink_dir, f"{name}.parquet")
+            df.write.mode("overwrite").parquet(p)
+        partition_verdicts = spark.read.parquet(
+            _os.path.join(sink_dir, "partition_verdicts.parquet")
+        ).orderBy("partition_id")
+        check_summary = spark.read.parquet(
+            _os.path.join(sink_dir, "check_summary.parquet")
+        ).orderBy("check")
     return ValidationReport(
         violations=violations,
         partition_verdicts=partition_verdicts,

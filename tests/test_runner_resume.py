@@ -146,3 +146,31 @@ def test_incremental_merge_semantics(spark):
     assert out["MOHA"]["changed"] is True and out["MOHA"]["take_new"] is False
     assert out["MOHA"]["error"] == "boom"  # error recorded (Sanctions.pm:69-72)
     assert all(r["verified"] == 1000 for r in out.values())
+
+
+def test_validation_report_parquet_sink(spark, images, ref_dims, tmp_path):
+    """sink_dir writes violations/verdicts/summary to parquet tables and
+    the returned report reads from them — same verdicts as the
+    collect-path report (the 10^12-row artifact shape)."""
+    import os
+
+    entries, ref_keys = ref_dims
+    base = run_validation(images, entries=entries, ref_keys=ref_keys)
+    sunk = run_validation(images, entries=entries, ref_keys=ref_keys,
+                          sink_dir=str(tmp_path))
+    for name in ("violations", "partition_verdicts", "check_summary"):
+        assert os.path.isdir(str(tmp_path / f"{name}.parquet")), name
+    key = lambda r: (r["partition_id"], r["n_rows"], r["n_violations"],  # noqa: E731
+                     r["n_fail_rows"], r["passed"])
+    assert sorted(map(key, sunk.partition_verdicts.collect())) == sorted(
+        map(key, base.partition_verdicts.collect())
+    )
+    assert sorted(
+        (r["check"], r["n_violations"])
+        for r in sunk.check_summary.collect()
+    ) == sorted(
+        (r["check"], r["n_violations"])
+        for r in base.check_summary.collect()
+    )
+    assert sunk.violations.schema == VIOLATION_SCHEMA
+    assert sunk.violations.count() == base.violations.count()
