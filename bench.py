@@ -39,14 +39,19 @@ def run_suite(spark, images, entries, ref_keys, checks=None,
     """One full validation pass; returns wall seconds (all actions)."""
     from perl_data_validate_sanctions_spark.plans.runner import run_validation
 
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.time()
     kw = {} if checks is None else {"checks": checks}
     report = run_validation(images, entries=entries, ref_keys=ref_keys,
                             pixel_sample=pixel_sample, **kw)
-    report.partition_verdicts.collect()
-    report.check_summary.collect()
+    # the three report reads are independent actions over the same
+    # materialized violations — collect them concurrently
+    outs = [report.partition_verdicts, report.check_summary]
     if report.stats is not None:
-        report.stats.collect()
+        outs.append(report.stats)
+    with ThreadPoolExecutor(max_workers=len(outs)) as ex:
+        list(ex.map(lambda df: df.collect(), outs))
     report.violations.unpersist()
     return time.time() - t0
 

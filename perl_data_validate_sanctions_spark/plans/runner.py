@@ -119,13 +119,31 @@ def run_validation(
     # leak), while checkpoint blocks are reclaimed when the report's
     # plans are garbage-collected — and every consumer needs the cube
     # materialized anyway.
-    cube = (
-        images.groupBy(
-            part.cast("int").alias("partition_id"), "w", "h", "fmt"
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+    import os as _os
+    import sys as _sys
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    _timing = _os.environ.get("PDVS_RUNNER_TIMING") == "1"
+    _t0 = _time.time()
+    _cube_plan = images.groupBy(
+        part.cast("int").alias("partition_id"), "w", "h", "fmt"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # materialize the cube in a background thread so its scan job
+    # overlaps the (driver-side) plan construction of the non-drift
+    # checks below; the future is joined before anything consumes it
+    _cube_ex = _TPE(max_workers=1)
+    _cube_fut = _cube_ex.submit(
+        lambda: _cube_plan.localCheckpoint(eager=True)
     )
+
+    def _cube() -> DataFrame:
+        out = _cube_fut.result()
+        if _timing and not getattr(_cube_fut, "_pdvs_logged", False):
+            _cube_fut._pdvs_logged = True
+            print(f"[runner] cube            {_time.time() - _t0:7.2f}s",
+                  file=_sys.stderr)
+        return out
 
     if "schema" in checks:
         _add("schema", schema_violations(images, part))
@@ -146,17 +164,26 @@ def run_validation(
                 images, caption_key_expr(), ref_keys, partition_expr=part
             ),
         )
+    # the three drift branches are tiny (cube-derived histograms) — one
+    # fused piece/job instead of three cuts per-job driver latency; the
+    # `check` column still distinguishes drift_w/h/fmt in the rollup
+    drift_pieces: list[DataFrame] = []
     for col, kind in (("w", "ks"), ("h", "ks"), ("fmt", "chi2")):
         name = f"drift_{col}"
         if name in checks:
             hist = (
-                cube.filter(F.col(col).isNotNull())
+                _cube().filter(F.col(col).isNotNull())
                 .groupBy("partition_id", F.col(col).alias("value"))
                 .agg(F.sum("n").alias("n"))
             )
             res = drift_from_hist(hist, col, kind=kind)
             drift_results[col] = res
-            _add(name, drift_violations(res))
+            drift_pieces.append(drift_violations(res))
+    if drift_pieces:
+        fused = drift_pieces[0]
+        for p in drift_pieces[1:]:
+            fused = fused.unionByName(p)
+        _add("drift(fused)", fused)
     if "integrity" in checks:
         _add(
             "integrity",
@@ -195,7 +222,8 @@ def run_validation(
         from concurrent.futures import ThreadPoolExecutor
 
         timing = os.environ.get("PDVS_RUNNER_TIMING") == "1"
-        # (the shared cube is already materialized — eager checkpoint —
+        # (the shared cube is already materialized — the _cube() future
+        # is joined by the drift branches before the pool starts —
         # so concurrent drift branches can't race to compute it)
 
         def _mat(arg: tuple[str, DataFrame]) -> DataFrame:
@@ -218,18 +246,26 @@ def run_validation(
         jobs = list(zip(piece_names, pieces))
         if with_stats:
             jobs.append(("stats", column_stats(images)))
+        _tp = time.time()
         with ThreadPoolExecutor(max_workers=pool + (1 if with_stats else 0)) as ex:
             results = list(ex.map(_mat, jobs))
+        if timing:
+            print(f"[runner] pool_total      {time.time() - _tp:7.2f}s",
+                  file=sys.stderr)
         stats_df = results.pop() if with_stats else None
         pieces = results
     else:
         stats_df = column_stats(images) if with_stats else None
+    _tu = _time.time()
     if pieces:
         violations = pieces[0]
         for p in pieces[1:]:
             violations = violations.unionByName(p)
     else:
         violations = spark.createDataFrame([], VIOLATION_SCHEMA)
+    if _timing:
+        print(f"[runner] union_built     {_time.time() - _tu:7.2f}s",
+              file=_sys.stderr)
     if sink_dir is not None:
         # production sink: violations land in a parquet table and every
         # downstream rollup scans the table — no driver-held blocks
@@ -246,7 +282,8 @@ def run_validation(
         # loop — cannot leak executor storage across run_validation calls
         violations = violations.localCheckpoint(eager=False)
 
-    rows_per_part = cube.groupBy("partition_id").agg(
+    _tr = _time.time()
+    rows_per_part = _cube().groupBy("partition_id").agg(
         F.sum("n").alias("n_rows")
     )
     fails_per_part = violations.groupBy("partition_id").agg(
@@ -267,6 +304,9 @@ def run_validation(
         .agg(F.count(F.lit(1)).alias("n_violations"))
         .orderBy("check")
     )
+    if _timing:
+        print(f"[runner] rollup_built    {_time.time() - _tr:7.2f}s",
+              file=_sys.stderr)
     if sink_dir is not None:
         import os as _os
 
@@ -282,6 +322,7 @@ def run_validation(
         check_summary = spark.read.parquet(
             _os.path.join(sink_dir, "check_summary.parquet")
         ).orderBy("check")
+    _cube_ex.shutdown(wait=False)
     return ValidationReport(
         violations=violations,
         partition_verdicts=partition_verdicts,
