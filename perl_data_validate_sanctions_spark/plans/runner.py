@@ -164,26 +164,6 @@ def run_validation(
                 images, caption_key_expr(), ref_keys, partition_expr=part
             ),
         )
-    # the three drift branches are tiny (cube-derived histograms) — one
-    # fused piece/job instead of three cuts per-job driver latency; the
-    # `check` column still distinguishes drift_w/h/fmt in the rollup
-    drift_pieces: list[DataFrame] = []
-    for col, kind in (("w", "ks"), ("h", "ks"), ("fmt", "chi2")):
-        name = f"drift_{col}"
-        if name in checks:
-            hist = (
-                _cube().filter(F.col(col).isNotNull())
-                .groupBy("partition_id", F.col(col).alias("value"))
-                .agg(F.sum("n").alias("n"))
-            )
-            res = drift_from_hist(hist, col, kind=kind)
-            drift_results[col] = res
-            drift_pieces.append(drift_violations(res))
-    if drift_pieces:
-        fused = drift_pieces[0]
-        for p in drift_pieces[1:]:
-            fused = fused.unionByName(p)
-        _add("drift(fused)", fused)
     if "integrity" in checks:
         _add(
             "integrity",
@@ -214,6 +194,30 @@ def run_validation(
             )
             .to(VIOLATION_SCHEMA)
         )
+
+    # drift branches come LAST: they are the only plans that need the
+    # materialized cube, so building every other check's plan first
+    # maximizes the overlap with the cube job running in _cube_ex. The
+    # three branches are tiny (cube-derived histograms) and fuse into
+    # ONE piece/job — three separate jobs each paid driver latency; the
+    # `check` column still distinguishes drift_w/h/fmt in the rollup.
+    drift_pieces: list[DataFrame] = []
+    for col, kind in (("w", "ks"), ("h", "ks"), ("fmt", "chi2")):
+        name = f"drift_{col}"
+        if name in checks:
+            hist = (
+                _cube().filter(F.col(col).isNotNull())
+                .groupBy("partition_id", F.col(col).alias("value"))
+                .agg(F.sum("n").alias("n"))
+            )
+            res = drift_from_hist(hist, col, kind=kind)
+            drift_results[col] = res
+            drift_pieces.append(drift_violations(res))
+    if drift_pieces:
+        fused = drift_pieces[0]
+        for p in drift_pieces[1:]:
+            fused = fused.unionByName(p)
+        _add("drift(fused)", fused)
 
     if concurrent and len(pieces) > 1:
         import os
