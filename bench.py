@@ -34,6 +34,72 @@ def build_images(spark, n_rows: int, cache_dir: str):
     return spark.read.parquet(path)
 
 
+def build_png_images(spark, n_rows: int, cache_dir: str):
+    """n_rows REAL grayscale PNGs (64×48, stdlib-encoded reference
+    pixels; every 100th IDAT bit-flipped) persisted once as parquet."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    path = f"{cache_dir}/png_images_{n_rows}.parquet"
+    if not os.path.isdir(path):
+        from perl_data_validate_sanctions_spark.sources import codec, png
+
+        W, H = 64, 48
+
+        def enc(batches):
+            for pdf in batches:
+                rows = []
+                for iid in pdf["image_id"]:
+                    blob = bytearray(
+                        png.encode_png_gray(codec.decode_reference(iid, W, H))
+                    )
+                    if int(iid[4:]) % 100 == 0:
+                        blob[len(blob) // 2] ^= 0xFF  # planted corruption
+                    rows.append((iid, bytes(blob), W, H, "png", None, 0))
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash"],
+                )
+
+        (
+            spark.range(n_rows)
+            .repartition(32)
+            .select(F.format_string("png-%09d", "id").alias("image_id"))
+            .mapInPandas(
+                enc,
+                "image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long",
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def bench_png_integrity(spark, n_rows: int, cache_dir: str) -> float:
+    """Wall seconds for the integrity check over real PNG payloads —
+    every byte travels the stdlib decode (zlib inflate + unfilter),
+    pixels compare against the reference under the PSNR gate."""
+    from pyspark.sql import functions as F
+
+    from perl_data_validate_sanctions_spark.checks.integrity import (
+        integrity_violations,
+    )
+    from perl_data_validate_sanctions_spark.sources.synth import (
+        logical_partition,
+    )
+
+    df = build_png_images(spark, n_rows, cache_dir)
+    t0 = time.time()
+    n_bad = integrity_violations(
+        df, logical_partition("image_id"), F.lit(None).cast("string")
+    ).count()
+    wall = time.time() - t0
+    assert n_bad == n_rows // 100, f"planted corruption miscount: {n_bad}"
+    return wall
+
+
 def run_suite(spark, images, entries, ref_keys, checks=None,
               pixel_sample=None):
     """One full validation pass; returns wall seconds (all actions)."""
@@ -268,6 +334,13 @@ def main() -> None:
             "cores": cpus,
         }))
         return
+
+    # REAL-decode integrity on PNG payloads: 20k stdlib-encoded PNGs
+    # (1% bit-flipped), validated end-to-end through the format-sniffed
+    # zlib+unfilter path (sources/png.py) — the non-stub codec, timed
+    timings["integrity_png_real_decode_20k"] = round(
+        bench_png_integrity(spark, 20_000, cache_dir), 3
+    )
 
     # suite with verdict/violation sinks written to parquet (the 100 TB
     # story: artifacts land in a table, not the driver) — comparable to

@@ -312,14 +312,19 @@ def run_validation(
         print(f"[runner] rollup_built    {_time.time() - _tr:7.2f}s",
               file=_sys.stderr)
     if sink_dir is not None:
-        import os as _os
+        # the two rollups are tiny independent jobs over the already-
+        # written violations table — write them concurrently
+        def _write(arg: tuple[str, DataFrame]) -> None:
+            name, df = arg
+            df.write.mode("overwrite").parquet(
+                _os.path.join(sink_dir, f"{name}.parquet")
+            )
 
-        for name, df in (
-            ("partition_verdicts", partition_verdicts),
-            ("check_summary", check_summary),
-        ):
-            p = _os.path.join(sink_dir, f"{name}.parquet")
-            df.write.mode("overwrite").parquet(p)
+        with _TPE(max_workers=2) as _wex:
+            list(_wex.map(_write, (
+                ("partition_verdicts", partition_verdicts),
+                ("check_summary", check_summary),
+            )))
         partition_verdicts = spark.read.parquet(
             _os.path.join(sink_dir, "partition_verdicts.parquet")
         ).orderBy("partition_id")
