@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     p_val.add_argument("--run-id", default=None)
     p_val.add_argument("--violations-out", help="write violation rows here")
     p_val.add_argument(
+        "--sink-dir",
+        help="write violations/partition_verdicts/check_summary parquet "
+             "tables under this dir instead of collecting to the driver "
+             "(the production shape at scale; reference analog: "
+             "bin/update_sanctions_csv writes a file, not stdout)",
+    )
+    p_val.add_argument(
         "--match-strategy", choices=("native", "arrow"), default="native"
     )
 
@@ -130,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
         entries = synth_entries(spark)
         ref_keys = spark.createDataFrame([(x,) for x in PLACES], "key string")
 
+        if args.checkpoint and args.sink_dir:
+            p.error("--sink-dir applies to the plain validate path; "
+                    "checkpointed runs already persist per-partition "
+                    "lineage under --checkpoint")
         if args.checkpoint:
             from .streaming.checkpoint import CheckpointStore, run_with_resume
 
@@ -160,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
                 entries=entries,
                 ref_keys=ref_keys,
                 match_strategy=args.match_strategy,
+                sink_dir=args.sink_dir,
             )
             verd = report.partition_verdicts.collect()
             summary = {
@@ -175,6 +187,8 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 "violations_by_check": summary,
             }
+            if args.sink_dir:
+                out["sink_dir"] = args.sink_dir
         if args.violations_out and report is not None:
             report.violations.write.mode("overwrite").parquet(
                 args.violations_out

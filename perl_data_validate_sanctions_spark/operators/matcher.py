@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..functions.country import country_code
 from ..functions.dates import date_to_epoch, epoch_year
@@ -304,13 +305,88 @@ def _with_physical_row_key(
                 F.col("_metadata.file_path").alias("__rfile"),
                 F.col("_metadata.row_index").alias("__rid"),
             )
-        except Exception:  # _metadata pruned by an upstream projection
-            pass
+        except AnalysisException:
+            # _metadata pruned by an upstream projection/union: the input
+            # IS file-backed but falls to the retry-nondeterministic key.
+            # Loud on purpose — on a cluster this is the signal that a
+            # retried task could duplicate/drop verdicts for physical
+            # duplicates; feed the raw file scan to keep determinism.
+            import warnings
+
+            warnings.warn(
+                "match_captions: file-backed input lost _metadata "
+                "(projection/union above the scan?) — falling back to "
+                "monotonically_increasing_id row keys, which are NOT "
+                "stable under task retry",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return images.select(
         *cols,
         F.lit("").alias("__rfile"),
         F.monotonically_increasing_id().alias("__rid"),
     )
+
+
+def _collect_caption_index(entries: DataFrame):
+    """Driver-side build of the caption-path token index: collect the
+    name DIMENSION (broadcast-scale by definition — the reference holds
+    exactly this in process memory as its ``_index`` multimap,
+    Sanctions.pm:346-348), rank it, and apply the prefix-filter
+    document-frequency cap.
+
+    Ranking: rows sorted by (source, name, entry_id) get a dense int
+    ``__rank`` whose numeric order IS the lexicographic order the old
+    ``min(struct(source, name, entry_id))`` reduction used (Python str
+    comparison = code-point order = Spark's UTF8-binary string order) —
+    so the verdict reduction becomes ``min(__rank)``, a pure-int
+    aggregate that plans as HashAggregate (struct/string aggregation
+    buffers force SortAggregate).
+
+    DF cap (the full-dimension fan-out fix): for every name with ≥2
+    distinct tokens, the single highest-document-frequency token (ties
+    by token string) is marked ``keep = false`` — the prefix-filter
+    bound for an overlap-≥2 predicate: a probe sharing ≥2 *distinct*
+    tokens with a name still retrieves it through a kept token. High-DF
+    tokens ("AL", "MOHAMMED", …) are the dropped token of most names
+    containing them, so the worst posting lists shrink by orders of
+    magnitude. The two pair classes with possibly no kept hit —
+    single-token probes (any hit matches) and a probe token duplicated
+    ≥2× equal to the dropped token (n_hits ≥ 2 from it alone) — are
+    rescued by also joining those probe tokens against the dropped
+    rows; both classes match unconditionally (see match_captions).
+
+    Building this in driver Python instead of a Spark plan trades ~8
+    tiny dimension jobs (DF groupBy, two windows, three broadcasts) for
+    ONE collect — measurable fixed latency on the 600 k hot path, and
+    byte-identical index content. Returns (index_rows, meta_rows):
+    index_rows = (token, rank, nsize, keep, dropped_token) with nsize
+    the RAW token count (min-size rule counts duplicates,
+    Sanctions.pm:430), meta_rows = (rank, source, name).
+    """
+    rows = (
+        build_name_dim(entries)
+        .select("entry_id", "source", "name", "name_tokens")
+        .collect()
+    )
+    rows = [r for r in rows if r["name_tokens"]]
+    rows.sort(key=lambda r: (r["source"], r["name"], r["entry_id"]))
+    tok_sets = [sorted(set(r["name_tokens"])) for r in rows]
+    df_counts: dict[str, int] = {}
+    for ts in tok_sets:
+        for t in ts:
+            df_counts[t] = df_counts.get(t, 0) + 1
+    index_rows: list[tuple] = []
+    meta_rows: list[tuple] = []
+    for rank, (r, ts) in enumerate(zip(rows, tok_sets), start=1):
+        meta_rows.append((rank, r["source"], r["name"]))
+        dropped = (
+            max(ts, key=lambda t: (df_counts[t], t)) if len(ts) >= 2 else None
+        )
+        nsize = len(r["name_tokens"])
+        for t in ts:
+            index_rows.append((t, rank, nsize, t != dropped, dropped))
+    return index_rows, meta_rows
 
 
 def match_captions(
@@ -339,59 +415,145 @@ def match_captions(
     derived from file provenance (retry-deterministic) for file-backed
     inputs; see :func:`_with_physical_row_key` for the in-memory
     fallback and its retry caveat.
+
+    Physical shape (chosen so the probe table is scanned ONCE, every
+    aggregate hash-aggregates, and the full-dimension fan-out stays
+    bounded — the round-4 fulldim cost was candidate fan-out through
+    high-DF tokens feeding a SortAggregate):
+
+    1. ONE broadcast hash join: each probe token occurrence, tagged
+       ``__rescue = false``, plus the rare rescue tokens (single-token
+       probes: their one token; multi-token probes: tokens duplicated
+       ≥2×), tagged ``true``, against the DF-capped index
+       (:func:`_collect_caption_index`) with residual condition
+       ``__rescue != __keep`` — normal occurrences see only kept
+       postings (fan-out cap), rescue occurrences see only dropped
+       postings. Joined rows carry only integers + the probe token
+       array for one O(|probe|) equality scan.
+    2. ``n_hits`` via counting: grouped by (row-key, ``__rank``),
+       ``count(*)`` is the probe-multiplicity hit count over the name's
+       kept tokens; hits on the name's single dropped token are
+       recovered by ``size(filter(ptokens, = dropped))`` — O(|probe|)
+       per joined row vs the old O(|probe| × |name|) array scan.
+    3. Match iff ``any(__rescue)`` (rescue classes match
+       unconditionally: a single-token probe hit has min_size == 1; a
+       ≥2× duplicated token hit alone gives n_hits ≥ 2) OR
+       ``psize == 1`` OR ``nsize == 1`` OR ``cnt + dropped_hits ≥ 2``.
+       For groups with no rescue row, cnt + dropped_hits is EXACTLY the
+       reference's multiplicity-preserving n_hits (kept + dropped
+       partitions the name's token set), so this is equivalent to
+       Sanctions.pm:421-437 (n_hits > 1, or == 1 with
+       min(|p|,|n|) == 1; psize == 1 caps n_hits at 1, and nsize == 1
+       with any hit always matches). A rescue row makes cnt inexact —
+       and also makes the verdict unconditionally true, so exactness
+       there is moot. Completeness of retrieval: a matching pair with
+       no kept hit shares ONLY the dropped token, so it needs
+       multiplicity ≥ 2 (dup rescue) or psize == 1 (single rescue).
+    4. Verdict reduction: ``min(__rank)`` (HashAggregate — the round-4
+       ``min(struct)`` planned SortAggregate), then a broadcast join
+       back to the rank→(source, name) map.
+
+    Group keys hash the file path (``xxhash64``) instead of carrying
+    the string — the round-4 string key is what made the sort rows
+    wide. The (hash(file), row_index) pair colliding across files is a
+    ~2^-64 event per file pair, documented as accepted.
     """
-    token_index = F.broadcast(
-        build_token_index(build_name_dim(entries)).select(
-            "__token",
-            _DIM_PREFIX + "entry_id",
-            _DIM_PREFIX + "source",
-            _DIM_PREFIX + "name",
-            _DIM_PREFIX + "name_tokens",
+    spark = images.sparkSession
+    index_rows, meta_rows = _collect_caption_index(entries)
+    index = F.broadcast(
+        spark.createDataFrame(
+            index_rows,
+            "__itoken string, __rank int, __nsize int, __keep boolean, "
+            "__dropped string",
         )
     )
+    rank_map = F.broadcast(
+        spark.createDataFrame(meta_rows, "__rank int, source string, name string")
+    )
+
     # per-PHYSICAL-row key: grouping on image_id would silently merge
     # duplicate-id rows into one verdict (the round-2 native/arrow
     # divergence). File-backed inputs get a retry-deterministic
     # (file_path, row_index) key; see _with_physical_row_key.
+    ptokens = F.col("__ptokens")
     prepared = (
         _with_physical_row_key(images, id_col, caption_col)
         .withColumn("__ptokens", clean_name_tokens(F.col(caption_col)))
         .filter(F.size("__ptokens") > 0)
+        .withColumn("__rkey", F.xxhash64("__rfile"))
+        .withColumn("__psize", F.size("__ptokens"))
     )
 
-    exploded = prepared.select(
-        "__rfile",
-        "__rid",
-        "__pid",
-        "__ptokens",
-        F.explode("__ptokens").alias("__token"),
-    )
-    joined = exploded.join(token_index, "__token")
-
-    ntokens = _e("name_tokens")
-    n_hits = F.size(
-        F.filter(F.col("__ptokens"), lambda t: F.array_contains(ntokens, t))
-    )
-    min_size = F.least(F.size("__ptokens"), F.size(ntokens))
-    name_ok = (n_hits > 1) | ((n_hits == 1) & (min_size == 1))
-
-    # __pid is functionally dependent on the row key, so carrying it in
-    # the group key is free and drops the first() aggregate.
-    best = (
-        joined.filter(name_ok)
-        .groupBy("__rfile", "__rid", "__pid")
-        .agg(
-            F.min(
-                F.struct(
-                    _e("source").alias("list"),
-                    _e("name").alias("name"),
-                    _e("entry_id").alias("entry_id"),
+    # rescue tokens: the O(|p|²) multiplicity scan runs only on the
+    # rare rows that actually contain duplicates (cheap distinct-size
+    # gate); single-token probes rescue with their one token
+    rescue_tokens = F.when(F.col("__psize") == 1, ptokens).otherwise(
+        F.when(
+            F.size(F.array_distinct(ptokens)) < F.col("__psize"),
+            F.array_distinct(
+                F.filter(
+                    ptokens,
+                    lambda t: F.size(F.filter(ptokens, lambda x: x == t)) >= 2,
                 )
-            ).alias("__best"),
-        )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
-    return best.select(
+    tagged = F.concat(
+        F.transform(
+            ptokens,
+            lambda t: F.struct(
+                t.alias("__token"), F.lit(False).alias("__rescue")
+            ),
+        ),
+        F.transform(
+            rescue_tokens,
+            lambda t: F.struct(
+                t.alias("__token"), F.lit(True).alias("__rescue")
+            ),
+        ),
+    )
+    exploded = prepared.select(
+        "__rkey", "__rid", "__pid", "__psize", "__ptokens",
+        F.explode(tagged).alias("__t"),
+    ).select(
+        "__rkey", "__rid", "__pid", "__psize", "__ptokens",
+        F.col("__t.__token").alias("__token"),
+        F.col("__t.__rescue").alias("__rescue"),
+    )
+    joined = exploded.join(
+        index,
+        (F.col("__token") == F.col("__itoken"))
+        & (F.col("__rescue") != F.col("__keep")),
+    )
+    dropped_hits = F.when(
+        F.col("__dropped").isNotNull(),
+        F.size(F.filter(ptokens, lambda t: t == F.col("__dropped"))),
+    ).otherwise(F.lit(0))
+    best = (
+        joined.select(
+            "__rkey", "__rid", "__pid", "__psize", "__rank", "__nsize",
+            dropped_hits.alias("__dhits"),
+            F.col("__rescue").cast("int").alias("__force"),
+        )
+        .groupBy("__rkey", "__rid", "__pid", "__rank")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max("__psize").alias("__psize"),
+            F.max("__nsize").alias("__nsize"),
+            F.max("__dhits").alias("__dhits"),
+            F.max("__force").alias("__force"),
+        )
+        .filter(
+            (F.col("__force") == 1)
+            | (F.col("__psize") == 1)
+            | (F.col("__nsize") == 1)
+            | (F.col("__cnt") + F.col("__dhits") >= 2)
+        )
+        .groupBy("__rkey", "__rid", "__pid")
+        .agg(F.min("__rank").alias("__rank"))
+    )
+    return best.join(rank_map, "__rank").select(
         F.col("__pid").alias(id_col),
-        F.col("__best.list").alias("list"),
-        F.col("__best.name").alias("matched_name"),
+        F.col("source").alias("list"),
+        F.col("name").alias("matched_name"),
     )

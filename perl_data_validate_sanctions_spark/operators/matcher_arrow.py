@@ -50,31 +50,73 @@ def _clean_tokens_py(name: str) -> list[str]:
 
 class _MatcherIndex:
     """Worker-local inverted index: token -> [(candidate id)], plus
-    per-candidate token frozensets and metadata."""
+    per-candidate token frozensets and metadata.
 
-    __slots__ = ("token_to_cands", "cand_tokens", "cand_meta")
+    Candidate pruning mirrors the native path's prefix-filter DF cap
+    (matcher._collect_caption_index): each multi-token candidate's single
+    highest-document-frequency token goes into a separate *dropped*
+    postings dict consulted only for the two rescue classes — a
+    single-token probe (any hit matches) or a probe token duplicated
+    ≥2× (n_hits ≥ 2 from that token alone). Every candidate that can
+    satisfy the match rule is still generated (≥2 distinct shared
+    tokens ⇒ ≥1 survives the one-token drop); the per-candidate
+    predicate below stays exact, so this is purely a candidate-set
+    reduction — the high-DF postings ("AL", "MOHAMMED", …) that made
+    full-dimension screening O(thousands of candidates per caption)
+    are consulted only for the rare rescue probes."""
+
+    __slots__ = ("token_to_cands", "dropped_to_cands", "cand_tokens",
+                 "cand_nsize", "cand_meta")
 
     def __init__(self, rows: list[dict[str, Any]]):
         self.token_to_cands: dict[str, list[int]] = {}
+        self.dropped_to_cands: dict[str, list[int]] = {}
         self.cand_tokens: list[frozenset[str]] = []
+        # RAW token count: the reference's min-size rule counts
+        # duplicated name tokens (Sanctions.pm:430), len(frozenset)
+        # would not
+        self.cand_nsize: list[int] = []
         self.cand_meta: list[tuple[str, str, int]] = []  # (source, name, entry_id)
         for r in rows:
             idx = len(self.cand_tokens)
             toks = frozenset(r["name_tokens"])
             self.cand_tokens.append(toks)
+            self.cand_nsize.append(len(r["name_tokens"]))
             self.cand_meta.append((r["source"], r["name"], r["entry_id"]))
+        df: dict[str, int] = {}
+        for toks in self.cand_tokens:
             for t in toks:
-                self.token_to_cands.setdefault(t, []).append(idx)
+                df[t] = df.get(t, 0) + 1
+        for idx, toks in enumerate(self.cand_tokens):
+            # same drop choice as the native index: max (DF, token)
+            dropped = (
+                max(toks, key=lambda t: (df[t], t)) if len(toks) >= 2 else None
+            )
+            for t in toks:
+                target = (
+                    self.dropped_to_cands if t == dropped
+                    else self.token_to_cands
+                )
+                target.setdefault(t, []).append(idx)
 
     def match_caption_tokens(self, ptokens: list[str]):
         """J1 candidate union + J2 rule; returns best (source, name) by
         (source, name, entry_id) or None — same deterministic choice as
-        the native path's min(struct(...)) with tier fixed at 1."""
+        the native path's min-rank reduction with tier fixed at 1."""
         if not ptokens:
             return None
+        distinct = set(ptokens)
         cands: set[int] = set()
-        for t in set(ptokens):
+        for t in distinct:
             cands.update(self.token_to_cands.get(t, ()))
+        if len(ptokens) == 1:
+            rescue: set[str] = distinct
+        elif len(distinct) < len(ptokens):
+            rescue = {t for t in distinct if ptokens.count(t) >= 2}
+        else:
+            rescue = set()
+        for t in rescue:
+            cands.update(self.dropped_to_cands.get(t, ()))
         if not cands:
             return None
         n_prob = len(ptokens)
@@ -82,7 +124,7 @@ class _MatcherIndex:
         for ci in cands:
             ctoks = self.cand_tokens[ci]
             hits = sum(1 for t in ptokens if t in ctoks)  # probe multiplicity
-            if hits > 1 or (hits == 1 and min(n_prob, len(ctoks)) == 1):
+            if hits > 1 or (hits == 1 and min(n_prob, self.cand_nsize[ci]) == 1):
                 meta = self.cand_meta[ci]
                 if best is None or meta < best:
                     best = meta

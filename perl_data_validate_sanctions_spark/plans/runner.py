@@ -131,207 +131,227 @@ def run_validation(
     ).agg(F.count(F.lit(1)).alias("n"))
     # materialize the cube in a background thread so its scan job
     # overlaps the (driver-side) plan construction of the non-drift
-    # checks below; the future is joined before anything consumes it
+    # checks below; the future is joined before anything consumes it.
+    # The executor is shut down in the finally below — an exception
+    # while building checks must not leak the thread / background job.
+    def _in_pool(name: str, fn):
+        # spark.scheduler.mode=FAIR schedules fairly BETWEEN pools, and
+        # the pool is chosen by a thread-local property — without this,
+        # every job lands in the single "default" pool whose internal
+        # order is FIFO and FAIR mode changes nothing (ADVICE r4).
+        # Pools are auto-created on first use; no allocation file needed.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        return fn()
+
     _cube_ex = _TPE(max_workers=1)
     _cube_fut = _cube_ex.submit(
-        lambda: _cube_plan.localCheckpoint(eager=True)
+        _in_pool, "cube", lambda: _cube_plan.localCheckpoint(eager=True)
     )
+    try:
 
-    def _cube() -> DataFrame:
-        out = _cube_fut.result()
-        if _timing and not getattr(_cube_fut, "_pdvs_logged", False):
-            _cube_fut._pdvs_logged = True
-            print(f"[runner] cube            {_time.time() - _t0:7.2f}s",
-                  file=_sys.stderr)
-        return out
-
-    if "schema" in checks:
-        _add("schema", schema_violations(images, part))
-    if "unique_image_id" in checks:
-        _add(
-            "unique_image_id",
-            uniqueness_violations(images, "image_id", partition_expr=part),
-        )
-    if "unique_phash" in checks:
-        _add(
-            "unique_phash",
-            uniqueness_violations(images, "phash", partition_expr=part),
-        )
-    if "referential" in checks and ref_keys is not None:
-        _add(
-            "referential",
-            referential_violations(
-                images, caption_key_expr(), ref_keys, partition_expr=part
-            ),
-        )
-    if "integrity" in checks:
-        _add(
-            "integrity",
-            integrity_violations(
-                images, part, exp_cap, pixel_sample=pixel_sample
-            ),
-        )
-    if "sanctioned" in checks and entries is not None:
-        matcher = (
-            match_captions_arrow if match_strategy == "arrow" else match_captions
-        )
-        matches = matcher(images, entries)
-        # a sanctioned caption is a violation row (the reference's
-        # {matched: 1} verdict, re-framed as a constraint failure);
-        # the logical partition derives from image_id alone, so no
-        # join back to the table is needed
-        _add(
-            "sanctioned",
-            matches.select(
-                F.lit("sanctioned").alias("check"),
-                part.cast("int").alias("partition_id"),
-                F.col("image_id").cast("string"),
-                F.lit("caption").alias("column"),
-                F.concat(
-                    F.lit("matched "), F.col("matched_name"),
-                    F.lit(" on "), F.col("list"),
-                ).alias("detail"),
-            )
-            .to(VIOLATION_SCHEMA)
-        )
-
-    # drift branches come LAST: they are the only plans that need the
-    # materialized cube, so building every other check's plan first
-    # maximizes the overlap with the cube job running in _cube_ex. The
-    # three branches are tiny (cube-derived histograms) and fuse into
-    # ONE piece/job — three separate jobs each paid driver latency; the
-    # `check` column still distinguishes drift_w/h/fmt in the rollup.
-    drift_pieces: list[DataFrame] = []
-    for col, kind in (("w", "ks"), ("h", "ks"), ("fmt", "chi2")):
-        name = f"drift_{col}"
-        if name in checks:
-            hist = (
-                _cube().filter(F.col(col).isNotNull())
-                .groupBy("partition_id", F.col(col).alias("value"))
-                .agg(F.sum("n").alias("n"))
-            )
-            res = drift_from_hist(hist, col, kind=kind)
-            drift_results[col] = res
-            drift_pieces.append(drift_violations(res))
-    if drift_pieces:
-        fused = drift_pieces[0]
-        for p in drift_pieces[1:]:
-            fused = fused.unionByName(p)
-        _add("drift(fused)", fused)
-
-    if concurrent and len(pieces) > 1:
-        import os
-        import sys
-        import time
-        from concurrent.futures import ThreadPoolExecutor
-
-        timing = os.environ.get("PDVS_RUNNER_TIMING") == "1"
-        # (the shared cube is already materialized — the _cube() future
-        # is joined by the drift branches before the pool starts —
-        # so concurrent drift branches can't race to compute it)
-
-        def _mat(arg: tuple[str, DataFrame]) -> DataFrame:
-            name, df = arg
-            t = time.time()
-            out = df.localCheckpoint(eager=True)
-            if timing:
-                print(f"[runner] {name:16s} {time.time() - t:7.2f}s",
-                      file=sys.stderr)
+        def _cube() -> DataFrame:
+            out = _cube_fut.result()
+            if _timing and not getattr(_cube_fut, "_pdvs_logged", False):
+                _cube_fut._pdvs_logged = True
+                print(f"[runner] cube            {_time.time() - _t0:7.2f}s",
+                      file=_sys.stderr)
             return out
 
-        # PDVS_RUNNER_POOL caps how many checks materialize at once
-        # (default: all). Fewer concurrent jobs = less task-set
-        # interleaving between bandwidth-heavy (integrity) and cache-
-        # sensitive (join/agg) stages on one shared memory bus.
-        pool = int(os.environ.get("PDVS_RUNNER_POOL", "0")) or len(pieces)
-        # the one-pass column stats ride the same pool: it's an
-        # independent scan the caller will collect anyway, so its job
-        # overlaps the check jobs instead of running serially after them
-        jobs = list(zip(piece_names, pieces))
-        if with_stats:
-            jobs.append(("stats", column_stats(images)))
-        _tp = time.time()
-        with ThreadPoolExecutor(max_workers=pool + (1 if with_stats else 0)) as ex:
-            results = list(ex.map(_mat, jobs))
-        if timing:
-            print(f"[runner] pool_total      {time.time() - _tp:7.2f}s",
-                  file=sys.stderr)
-        stats_df = results.pop() if with_stats else None
-        pieces = results
-    else:
-        stats_df = column_stats(images) if with_stats else None
-    _tu = _time.time()
-    if pieces:
-        violations = pieces[0]
-        for p in pieces[1:]:
-            violations = violations.unionByName(p)
-    else:
-        violations = spark.createDataFrame([], VIOLATION_SCHEMA)
-    if _timing:
-        print(f"[runner] union_built     {_time.time() - _tu:7.2f}s",
-              file=_sys.stderr)
-    if sink_dir is not None:
-        # production sink: violations land in a parquet table and every
-        # downstream rollup scans the table — no driver-held blocks
-        import os as _os
-
-        viol_path = _os.path.join(sink_dir, "violations.parquet")
-        violations.write.mode("overwrite").parquet(viol_path)
-        violations = spark.read.schema(VIOLATION_SCHEMA).parquet(viol_path)
-    else:
-        # lazy localCheckpoint (materializes at the first action, reused
-        # by the rollup, summary and caller reads): unlike .cache() the
-        # blocks are reclaimed when the report is garbage-collected, so
-        # a consumer that never calls unpersist() — the CLI, a notebook
-        # loop — cannot leak executor storage across run_validation calls
-        violations = violations.localCheckpoint(eager=False)
-
-    _tr = _time.time()
-    rows_per_part = _cube().groupBy("partition_id").agg(
-        F.sum("n").alias("n_rows")
-    )
-    fails_per_part = violations.groupBy("partition_id").agg(
-        F.count(F.lit(1)).alias("n_violations"),
-        F.count_distinct(
-            F.when(F.col("image_id").isNotNull(), F.col("image_id"))
-        ).alias("n_fail_rows"),
-    )
-    partition_verdicts = (
-        rows_per_part.join(fails_per_part, "partition_id", "left")
-        .fillna(0, ["n_violations", "n_fail_rows"])
-        .withColumn("n_pass_rows", F.col("n_rows") - F.col("n_fail_rows"))
-        .withColumn("passed", F.col("n_violations") == 0)
-        .orderBy("partition_id")
-    )
-    check_summary = (
-        violations.groupBy("check")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .orderBy("check")
-    )
-    if _timing:
-        print(f"[runner] rollup_built    {_time.time() - _tr:7.2f}s",
-              file=_sys.stderr)
-    if sink_dir is not None:
-        # the two rollups are tiny independent jobs over the already-
-        # written violations table — write them concurrently
-        def _write(arg: tuple[str, DataFrame]) -> None:
-            name, df = arg
-            df.write.mode("overwrite").parquet(
-                _os.path.join(sink_dir, f"{name}.parquet")
+        if "schema" in checks:
+            _add("schema", schema_violations(images, part))
+        if "unique_image_id" in checks:
+            _add(
+                "unique_image_id",
+                uniqueness_violations(images, "image_id", partition_expr=part),
+            )
+        if "unique_phash" in checks:
+            _add(
+                "unique_phash",
+                uniqueness_violations(images, "phash", partition_expr=part),
+            )
+        if "referential" in checks and ref_keys is not None:
+            _add(
+                "referential",
+                referential_violations(
+                    images, caption_key_expr(), ref_keys, partition_expr=part
+                ),
+            )
+        if "integrity" in checks:
+            _add(
+                "integrity",
+                integrity_violations(
+                    images, part, exp_cap, pixel_sample=pixel_sample
+                ),
+            )
+        if "sanctioned" in checks and entries is not None:
+            matcher = (
+                match_captions_arrow if match_strategy == "arrow" else match_captions
+            )
+            matches = matcher(images, entries)
+            # a sanctioned caption is a violation row (the reference's
+            # {matched: 1} verdict, re-framed as a constraint failure);
+            # the logical partition derives from image_id alone, so no
+            # join back to the table is needed
+            _add(
+                "sanctioned",
+                matches.select(
+                    F.lit("sanctioned").alias("check"),
+                    part.cast("int").alias("partition_id"),
+                    F.col("image_id").cast("string"),
+                    F.lit("caption").alias("column"),
+                    F.concat(
+                        F.lit("matched "), F.col("matched_name"),
+                        F.lit(" on "), F.col("list"),
+                    ).alias("detail"),
+                )
+                .to(VIOLATION_SCHEMA)
             )
 
-        with _TPE(max_workers=2) as _wex:
-            list(_wex.map(_write, (
-                ("partition_verdicts", partition_verdicts),
-                ("check_summary", check_summary),
-            )))
-        partition_verdicts = spark.read.parquet(
-            _os.path.join(sink_dir, "partition_verdicts.parquet")
-        ).orderBy("partition_id")
-        check_summary = spark.read.parquet(
-            _os.path.join(sink_dir, "check_summary.parquet")
-        ).orderBy("check")
-    _cube_ex.shutdown(wait=False)
+        # drift branches come LAST: they are the only plans that need the
+        # materialized cube, so building every other check's plan first
+        # maximizes the overlap with the cube job running in _cube_ex. The
+        # three branches are tiny (cube-derived histograms) and fuse into
+        # ONE piece/job — three separate jobs each paid driver latency; the
+        # `check` column still distinguishes drift_w/h/fmt in the rollup.
+        drift_pieces: list[DataFrame] = []
+        for col, kind in (("w", "ks"), ("h", "ks"), ("fmt", "chi2")):
+            name = f"drift_{col}"
+            if name in checks:
+                hist = (
+                    _cube().filter(F.col(col).isNotNull())
+                    .groupBy("partition_id", F.col(col).alias("value"))
+                    .agg(F.sum("n").alias("n"))
+                )
+                res = drift_from_hist(hist, col, kind=kind)
+                drift_results[col] = res
+                drift_pieces.append(drift_violations(res))
+        if drift_pieces:
+            fused = drift_pieces[0]
+            for p in drift_pieces[1:]:
+                fused = fused.unionByName(p)
+            _add("drift(fused)", fused)
+
+        if concurrent and len(pieces) > 1:
+            import os
+            import sys
+            import time
+            from concurrent.futures import ThreadPoolExecutor
+
+            timing = os.environ.get("PDVS_RUNNER_TIMING") == "1"
+            # (the shared cube is already materialized — the _cube() future
+            # is joined by the drift branches before the pool starts —
+            # so concurrent drift branches can't race to compute it)
+
+            def _mat(arg: tuple[str, DataFrame]) -> DataFrame:
+                name, df = arg
+                t = time.time()
+                # one scheduler pool per check: FAIR mode shares slots
+                # between POOLS, so the light checks' small stages
+                # interleave with the long mapInPandas stages instead of
+                # queuing behind them in the one FIFO default pool
+                out = _in_pool(name, lambda: df.localCheckpoint(eager=True))
+                if timing:
+                    print(f"[runner] {name:16s} {time.time() - t:7.2f}s",
+                          file=sys.stderr)
+                return out
+
+            # PDVS_RUNNER_POOL caps how many checks materialize at once
+            # (default: all). Fewer concurrent jobs = less task-set
+            # interleaving between bandwidth-heavy (integrity) and cache-
+            # sensitive (join/agg) stages on one shared memory bus.
+            pool = int(os.environ.get("PDVS_RUNNER_POOL", "0")) or len(pieces)
+            # the one-pass column stats ride the same pool: it's an
+            # independent scan the caller will collect anyway, so its job
+            # overlaps the check jobs instead of running serially after them
+            jobs = list(zip(piece_names, pieces))
+            if with_stats:
+                jobs.append(("stats", column_stats(images)))
+            _tp = time.time()
+            with ThreadPoolExecutor(max_workers=pool + (1 if with_stats else 0)) as ex:
+                results = list(ex.map(_mat, jobs))
+            if timing:
+                print(f"[runner] pool_total      {time.time() - _tp:7.2f}s",
+                      file=sys.stderr)
+            stats_df = results.pop() if with_stats else None
+            pieces = results
+        else:
+            stats_df = column_stats(images) if with_stats else None
+        _tu = _time.time()
+        if pieces:
+            violations = pieces[0]
+            for p in pieces[1:]:
+                violations = violations.unionByName(p)
+        else:
+            violations = spark.createDataFrame([], VIOLATION_SCHEMA)
+        if _timing:
+            print(f"[runner] union_built     {_time.time() - _tu:7.2f}s",
+                  file=_sys.stderr)
+        if sink_dir is not None:
+            # production sink: violations land in a parquet table and every
+            # downstream rollup scans the table — no driver-held blocks
+            import os as _os
+
+            viol_path = _os.path.join(sink_dir, "violations.parquet")
+            violations.write.mode("overwrite").parquet(viol_path)
+            violations = spark.read.schema(VIOLATION_SCHEMA).parquet(viol_path)
+        else:
+            # lazy localCheckpoint (materializes at the first action, reused
+            # by the rollup, summary and caller reads): unlike .cache() the
+            # blocks are reclaimed when the report is garbage-collected, so
+            # a consumer that never calls unpersist() — the CLI, a notebook
+            # loop — cannot leak executor storage across run_validation calls
+            violations = violations.localCheckpoint(eager=False)
+
+        _tr = _time.time()
+        rows_per_part = _cube().groupBy("partition_id").agg(
+            F.sum("n").alias("n_rows")
+        )
+        fails_per_part = violations.groupBy("partition_id").agg(
+            F.count(F.lit(1)).alias("n_violations"),
+            F.count_distinct(
+                F.when(F.col("image_id").isNotNull(), F.col("image_id"))
+            ).alias("n_fail_rows"),
+        )
+        partition_verdicts = (
+            rows_per_part.join(fails_per_part, "partition_id", "left")
+            .fillna(0, ["n_violations", "n_fail_rows"])
+            .withColumn("n_pass_rows", F.col("n_rows") - F.col("n_fail_rows"))
+            .withColumn("passed", F.col("n_violations") == 0)
+            .orderBy("partition_id")
+        )
+        check_summary = (
+            violations.groupBy("check")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .orderBy("check")
+        )
+        if _timing:
+            print(f"[runner] rollup_built    {_time.time() - _tr:7.2f}s",
+                  file=_sys.stderr)
+        if sink_dir is not None:
+            # the two rollups are tiny independent jobs over the already-
+            # written violations table — write them concurrently
+            def _write(arg: tuple[str, DataFrame]) -> None:
+                name, df = arg
+                _in_pool(
+                    name,
+                    lambda: df.write.mode("overwrite").parquet(
+                        _os.path.join(sink_dir, f"{name}.parquet")
+                    ),
+                )
+
+            with _TPE(max_workers=2) as _wex:
+                list(_wex.map(_write, (
+                    ("partition_verdicts", partition_verdicts),
+                    ("check_summary", check_summary),
+                )))
+            partition_verdicts = spark.read.parquet(
+                _os.path.join(sink_dir, "partition_verdicts.parquet")
+            ).orderBy("partition_id")
+            check_summary = spark.read.parquet(
+                _os.path.join(sink_dir, "check_summary.parquet")
+            ).orderBy("check")
+    finally:
+        _cube_ex.shutdown(wait=False)
     return ValidationReport(
         violations=violations,
         partition_verdicts=partition_verdicts,

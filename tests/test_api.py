@@ -199,3 +199,28 @@ def test_publish_retains_previous_version(spark, tmp_path_factory):
     assert len(versions) == 2
     assert not os.path.isdir(first_target)
     assert spark.read.parquet(path).count() == 1
+
+
+def test_cli_validate_sink_dir(spark, tmp_path_factory, capsys):
+    """`validate --sink-dir` writes the three parquet artifacts (the
+    production shape: reports land in tables, not the driver — round-5
+    CLI promotion of run_validation(sink_dir=...))."""
+    import json
+    import os
+
+    from perl_data_validate_sanctions_spark.cli import main
+
+    sink = str(tmp_path_factory.mktemp("clisink") / "report")
+    argv = ["validate", "--synth-rows", "2000", "--sink-dir", sink]
+    assert main(argv) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sink_dir"] == sink
+    for name in ("violations", "partition_verdicts", "check_summary"):
+        path = os.path.join(sink, f"{name}.parquet")
+        assert os.path.isdir(path), name
+        assert spark.read.parquet(path).count() > 0, name
+    # the JSON report agrees with the persisted tables
+    verd = spark.read.parquet(
+        os.path.join(sink, "partition_verdicts.parquet")
+    )
+    assert out["n_rows"] == sum(r["n_rows"] for r in verd.collect())

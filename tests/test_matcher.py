@@ -270,3 +270,54 @@ def test_caption_match_file_backed_key_is_deterministic(spark, tmp_path):
     out = match_captions(images, entries).collect()
     assert len(out) == 2
     assert all(r["image_id"] == "img-dup" for r in out)
+
+
+def test_caption_match_df_cap_rescue_classes(spark):
+    """Adversarial fixture for the prefix-filter DF cap (round 5).
+
+    Dimension: three names sharing high-DF token AL (so AL is each
+    name's dropped token), plus a single-token name. Probes cover every
+    retrieval class the cap could miss:
+      - dup-token probe whose only overlap is the dropped token ("al al")
+      - single-token probe hitting only the dropped token ("al")
+      - kept hit + dropped hit summing to 2 ("qaeda al")
+      - kept hit alone, n_hits==1 vs multi-token name → NO match
+      - single-token NAME hit (any hit matches)
+    Both matcher paths must agree with the hand-computed reference rule.
+    """
+    from perl_data_validate_sanctions_spark.schema import ENTRY_SCHEMA
+
+    entries = spark.createDataFrame(
+        [
+            (1, "src", ["Al Qaeda"]) + (None,) * 10,
+            (2, "src", ["Al Nusra"]) + (None,) * 10,
+            (3, "src", ["Al Shabab"]) + (None,) * 10,
+            (4, "src", ["Xi"]) + (None,) * 10,
+        ],
+        ENTRY_SCHEMA,
+    )
+    images = spark.createDataFrame(
+        [
+            ("p-dup-dropped", "al al"),
+            ("p-single-dropped", "al"),
+            ("p-kept-plus-dropped", "qaeda al"),
+            ("p-kept-single-hit", "qaeda unrelated"),
+            ("p-single-token-name", "xi somewhere"),
+            ("p-no-match", "nothing here"),
+        ],
+        "image_id string, caption string",
+    )
+    expect = {
+        "p-dup-dropped": "Al Nusra",        # min name among the three
+        "p-single-dropped": "Al Nusra",
+        "p-kept-plus-dropped": "Al Qaeda",  # n_hits=2 only for Qaeda
+        "p-single-token-name": "Xi",
+        # p-kept-single-hit: n_hits=1, min_size=2 → no match
+        # p-no-match: no shared token
+    }
+    for matcher in (match_captions, match_captions_arrow):
+        got = {
+            r["image_id"]: r["matched_name"]
+            for r in matcher(images, entries).collect()
+        }
+        assert got == expect, matcher.__name__
