@@ -38,15 +38,15 @@ CHECKS = ("schema", "unique_image_id", "unique_phash", "referential",
           "drift_w", "drift_h", "drift_fmt", "integrity", "sanctioned")
 for c in CHECKS:
     t = run_suite(spark, images, entries, ref_keys, checks=(c,),
-                  pixel_sample=4096)
+                  pixel_sample=4096)[0]
     t2 = run_suite(spark, images, entries, ref_keys, checks=(c,),
-                   pixel_sample=4096)
+                   pixel_sample=4096)[0]
     out[c] = round(min(t, t2), 2)
 # full suite for reference (concurrent on)
 out["FULL"] = round(run_suite(spark, images, entries, ref_keys,
-                              pixel_sample=4096), 2)
+                              pixel_sample=4096)[0], 2)
 out["FULL2"] = round(run_suite(spark, images, entries, ref_keys,
-                               pixel_sample=4096), 2)
+                               pixel_sample=4096)[0], 2)
 print("DIAG " + json.dumps(out))
 """
 

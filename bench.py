@@ -34,6 +34,70 @@ def build_images(spark, n_rows: int, cache_dir: str):
     return spark.read.parquet(path)
 
 
+def build_mixed_images(spark, n_rows: int, cache_dir: str,
+                       png_mod: int = 20):
+    """The headline-suite fixture: the synthetic table with ~1/png_mod
+    of its rows converted to REAL 64×48 grayscale PNG payloads (stdlib
+    zlib encode of the reference pixels, sources/png.py) so the flagship
+    number exercises the format sniff + real zlib/unfilter decode path
+    (checks/integrity.py) — not only the synthetic fake codec. PNG rows
+    keep their image_id/caption/phash (uniqueness, referential,
+    sanctioned and caption-equality semantics unchanged); w/h/fmt
+    become 64/48/png (schema range checks still pass). Every 100th
+    converted row (by numeric id) gets one IDAT byte flipped — planted
+    corruption the integrity check must surface in the violation
+    rollup."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    path = f"{cache_dir}/images_mixed_{n_rows}_{png_mod}.parquet"
+    if not os.path.isdir(path):
+        from perl_data_validate_sanctions_spark.sources import codec, png
+        from perl_data_validate_sanctions_spark.sources.synth import (
+            synth_images,
+        )
+
+        base = synth_images(spark, n_rows, num_partitions=64)
+        is_png = F.pmod(F.xxhash64("image_id"), F.lit(png_mod)) == 0
+        W, H = 64, 48
+
+        def enc(batches):
+            for pdf in batches:
+                rows = []
+                for iid, cap, ph in zip(
+                    pdf["image_id"], pdf["caption"], pdf["phash"]
+                ):
+                    blob = bytearray(
+                        png.encode_png_gray(codec.decode_reference(iid, W, H))
+                    )
+                    if int(iid[4:]) % 100 == 0:
+                        blob[len(blob) // 2] ^= 0xFF  # planted corruption
+                    rows.append(
+                        (iid, bytes(blob), W, H, "png",
+                         None if cap is None else cap,
+                         None if ph is None else int(ph))
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash"],
+                )
+
+        png_rows = (
+            base.filter(is_png)
+            .select("image_id", "caption", "phash")
+            .mapInPandas(
+                enc,
+                "image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long",
+            )
+        )
+        base.filter(~is_png).unionByName(png_rows).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def build_png_images(spark, n_rows: int, cache_dir: str):
     """n_rows REAL grayscale PNGs (64×48, stdlib-encoded reference
     pixels; every 100th IDAT bit-flipped) persisted once as parquet."""
@@ -102,7 +166,8 @@ def bench_png_integrity(spark, n_rows: int, cache_dir: str) -> float:
 
 def run_suite(spark, images, entries, ref_keys, checks=None,
               pixel_sample=None):
-    """One full validation pass; returns wall seconds (all actions)."""
+    """One full validation pass; returns (wall seconds, {check: n_viol})
+    — the summary rides along free (its collect is part of the pass)."""
     from perl_data_validate_sanctions_spark.plans.runner import run_validation
 
     from concurrent.futures import ThreadPoolExecutor
@@ -117,9 +182,10 @@ def run_suite(spark, images, entries, ref_keys, checks=None,
     if report.stats is not None:
         outs.append(report.stats)
     with ThreadPoolExecutor(max_workers=len(outs)) as ex:
-        list(ex.map(lambda df: df.collect(), outs))
+        collected = list(ex.map(lambda df: df.collect(), outs))
     report.violations.unpersist()
-    return time.time() - t0
+    summary = {r["check"]: r["n_violations"] for r in collected[1]}
+    return time.time() - t0, summary
 
 
 def main() -> None:
@@ -156,6 +222,25 @@ def main() -> None:
     # measure the suite, not the fixed-size micro-query section
     suite_only = os.environ.get("PDVS_BENCH_SUITE_ONLY") == "1"
 
+    # headline-suite fixture: ~5% REAL PNG payloads (round-5 task: the
+    # flagship number must exercise the sniff + stdlib-decode path).
+    # The scaling legs (suite_only) keep the pure-synth table so the
+    # N-vs-4N artifact stays comparable across rounds.
+    if suite_only:
+        suite_images = images
+        n_planted_png = 0
+    else:
+        from pyspark.sql import functions as F
+
+        suite_images = build_mixed_images(spark, n_rows, cache_dir)
+        # converted rows are exactly pmod(xxhash64(id), 20) == 0 (same
+        # predicate as the builder — synth rows with fmt='png' that were
+        # NOT converted carry fake-codec payloads and are never flipped)
+        n_planted_png = suite_images.filter(
+            (F.pmod(F.xxhash64("image_id"), F.lit(20)) == 0)
+            & (F.substring("image_id", 5, 12).cast("long") % 100 == 0)
+        ).count()
+
     # Headline suite runs integrity in PRODUCTION mode: 4096-pixel
     # PSNR estimate + exact full-pixel escalation of every borderline
     # row — violation rows are always confirmed exactly (see
@@ -171,7 +256,8 @@ def main() -> None:
     # simultaneous 32-worker allocation/page-fault storm (measured 3-5×
     # on this VM class).
     n_workers = 64 if cpus == "*" else max(int(cpus), 4)
-    warm = build_images(spark, min(20_000, n_rows), cache_dir).repartition(
+    warm_builder = build_images if suite_only else build_mixed_images
+    warm = warm_builder(spark, min(20_000, n_rows), cache_dir).repartition(
         n_workers
     )
     run_suite(spark, warm, entries, ref_keys, pixel_sample=PIXEL_SAMPLE)
@@ -302,20 +388,26 @@ def main() -> None:
     # recorded exactly such poisoned pairs). Run untimed full-size
     # passes until two consecutive runs agree within 20% (max 3), then
     # time. All warm-run walls are recorded for transparency.
-    warm_walls = [round(run_suite(spark, images, entries, ref_keys,
-                                  pixel_sample=PIXEL_SAMPLE), 3)]
+    warm_walls = [round(run_suite(spark, suite_images, entries, ref_keys,
+                                  pixel_sample=PIXEL_SAMPLE)[0], 3)]
     for _ in range(2):
-        cur = round(run_suite(spark, images, entries, ref_keys,
-                              pixel_sample=PIXEL_SAMPLE), 3)
+        cur = round(run_suite(spark, suite_images, entries, ref_keys,
+                              pixel_sample=PIXEL_SAMPLE)[0], 3)
         prev = warm_walls[-1]
         warm_walls.append(cur)
         if abs(cur - prev) / prev < 0.2:
             break
-    t_run1 = run_suite(spark, images, entries, ref_keys,
-                       pixel_sample=PIXEL_SAMPLE)
-    t_run2 = run_suite(spark, images, entries, ref_keys,
-                       pixel_sample=PIXEL_SAMPLE)
+    t_run1, summary1 = run_suite(spark, suite_images, entries, ref_keys,
+                                 pixel_sample=PIXEL_SAMPLE)
+    t_run2, _ = run_suite(spark, suite_images, entries, ref_keys,
+                          pixel_sample=PIXEL_SAMPLE)
     t_full = min(t_run1, t_run2)
+    if n_planted_png:
+        # the flagship number must really drive the PNG decode: every
+        # planted IDAT flip surfaces as an integrity violation
+        assert summary1.get("integrity", 0) >= n_planted_png, (
+            summary1, n_planted_png
+        )
     timings["validate_full_suite"] = round(t_full, 3)
     timings["validate_full_suite_run1"] = round(t_run1, 3)
     timings["validate_full_suite_run2"] = round(t_run2, 3)
@@ -355,7 +447,8 @@ def main() -> None:
             run_validation,
         )
 
-        rep = run_validation(images, entries=entries, ref_keys=ref_keys,
+        rep = run_validation(suite_images, entries=entries,
+                             ref_keys=ref_keys,
                              pixel_sample=PIXEL_SAMPLE, sink_dir=sink_dir)
         rep.partition_verdicts.collect()
         rep.check_summary.collect()
@@ -370,12 +463,13 @@ def main() -> None:
         "sanctioned",
     )
     timings["validate_native_only"] = round(
-        run_suite(spark, images, entries, ref_keys, checks=native_checks), 3
+        run_suite(spark, suite_images, entries, ref_keys,
+                  checks=native_checks)[0], 3
     )
     arrow_checks = ("drift_w", "drift_h", "drift_fmt", "integrity")
     timings["validate_arrow_checks"] = round(
-        run_suite(spark, images, entries, ref_keys, checks=arrow_checks,
-                  pixel_sample=PIXEL_SAMPLE), 3
+        run_suite(spark, suite_images, entries, ref_keys, checks=arrow_checks,
+                  pixel_sample=PIXEL_SAMPLE)[0], 3
     )
     # exact (every pixel of every image) integrity on a 150k-row table —
     # the parity-mode cost, reported per-row-normalizable. NOT
@@ -385,7 +479,7 @@ def main() -> None:
     exact_images = build_images(spark, exact_rows, cache_dir)
     timings["validate_integrity_exact_150k"] = round(
         run_suite(spark, exact_images, entries, ref_keys,
-                  checks=("integrity",)), 3
+                  checks=("integrity",))[0], 3
     )
 
     result = {
@@ -400,6 +494,9 @@ def main() -> None:
         "images_per_sec": round(n_rows / t_full, 1),
         "integrity_mode": f"sampled{4096}+exact-escalation "
                           "(violations exactly confirmed)",
+        "suite_fixture": "mixed: ~5% real stdlib-encoded PNG payloads "
+                         "(planted IDAT corruptions verified found)",
+        "n_planted_png_corruptions": n_planted_png,
         "single_node_reference_proxy_captions_per_sec": single_node_qps,
         "engine_match_captions_per_sec": round(
             n_rows / timings["match_captions_native"], 1
