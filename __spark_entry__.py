@@ -1083,6 +1083,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from perl_data_validate_sanctions_spark.operators.dedup import (
         exact_dedup,
         ngram_jaccard_pairs,
+        shingle_cache,
     )
     from perl_data_validate_sanctions_spark.operators.text import (
         quality_score,
@@ -1092,7 +1093,12 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     gated = docs.filter(F.round(quality_score("text"), 6) >= 0.8)
     uniq = exact_dedup(gated)
-    pairs = ngram_jaccard_pairs(uniq, w=3, threshold=0.5)
+    # suite-scoped shingle cache: ONE shingle build feeds every dedup
+    # stage of the pipeline (pairs are materialized inside the call, so
+    # releasing the cache on exit never recomputes shingles); add e.g.
+    # minhash_lsh_pairs(uniq, shingles=sh) stages without a second build
+    with shingle_cache(uniq, w=3) as sh:
+        pairs = ngram_jaccard_pairs(uniq, w=3, threshold=0.5, shingles=sh)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     clean = uniq.join(dropped, "doc_id", "left_anti")
     return clean.select(

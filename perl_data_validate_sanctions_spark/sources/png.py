@@ -14,6 +14,21 @@ profiles raise ``ValueError`` (→ an "undecodable payload" violation
 row, never a task failure). The encoder exists for fixtures/tests and
 supports a per-row filter choice so round-trip tests exercise every
 unfilter branch.
+
+Throughput cliff (know before pointing this at large images): the
+None/Sub/Up filters unfilter as numpy whole-row ops, but Average and
+Paeth have a LEFT-pixel dependency (recon[x] needs recon[x-1] through
+a floor-div / three-way-min predictor), which admits no prefix-scan
+vectorization — those two branches run a per-pixel pure-Python loop,
+~1-2 Mpx/s/core. The bench's 64×48 fixtures hide this; a 4096×4096
+Paeth-heavy image costs ~10 s of interpreter time. Mitigation: when
+Pillow is importable, payloads ≥ ``_PIL_MIN_PX`` pixels that have
+ALREADY passed this module's strict validation walk (signature, CRCs,
+profile, zlib stream, size) are pixel-decoded by Pillow's C path —
+pure speedup, identical semantics, because every violation class
+raises before Pillow is consulted and PNG decoding of a valid stream
+is deterministic. This container has no Pillow, so the gate stays
+cold here (and the per-pixel cost is recorded in SCALING.md).
 """
 
 from __future__ import annotations
@@ -22,6 +37,13 @@ import struct
 import zlib
 
 import numpy as np
+
+try:  # optional C fast path for big Average/Paeth images — see docstring
+    from PIL import Image as _PILImage  # pragma: no cover - not in container
+except Exception:  # pragma: no cover
+    _PILImage = None
+
+_PIL_MIN_PX = 1 << 20  # 1 Mpx: below this the numpy/Python path is fine
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -137,6 +159,18 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"bad zlib stream: {e}") from e
     if len(raw) != h * (w + 1):
         raise ValueError("decompressed size mismatch")
+    if (
+        _PILImage is not None and w * h >= _PIL_MIN_PX
+    ):  # pragma: no cover - Pillow absent in this container
+        # every violation class has already raised above; a valid
+        # stream decodes deterministically, so the C path is a pure
+        # speedup for the Average/Paeth per-pixel branches below
+        import io
+
+        arr = np.asarray(_PILImage.open(io.BytesIO(data)), dtype=np.uint8)
+        if arr.shape != (h, w):
+            raise ValueError("decoder shape mismatch")
+        return int(w), int(h), arr
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
     out = np.zeros((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.uint8)
