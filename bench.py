@@ -313,16 +313,21 @@ def main() -> None:
             )
 
             full_entries, _ = load_yaml_dataset(spark, _BUNDLED_YML)
-            t0 = time.time()
-            match_captions(images, full_entries).count()
-            timings["match_captions_native_fulldim"] = round(
-                time.time() - t0, 3
-            )
-            t0 = time.time()
-            match_captions_arrow(images, full_entries).count()
-            timings["match_captions_arrow_fulldim"] = round(
-                time.time() - t0, 3
-            )
+            # median-of-3, same contract as the small-dim timing: the
+            # first full-dimension pass pays one-time costs (driver
+            # index build pickling, fresh plan codegen, broadcast) that
+            # a single sample would report as the steady cost
+            for key, fn in (
+                ("match_captions_native_fulldim", match_captions),
+                ("match_captions_arrow_fulldim", match_captions_arrow),
+            ):
+                runs = []
+                for _ in range(3):
+                    t0 = time.time()
+                    fn(images, full_entries).count()
+                    runs.append(round(time.time() - t0, 3))
+                timings[key] = sorted(runs)[1]
+                timings[key + "_runs"] = runs
 
         # dedup suite with ONE shared shingle cache (same operator
         # params as the ngram/minhash driver queries, which each build
