@@ -506,6 +506,9 @@ def main() -> None:
         "engine_match_captions_per_sec": round(
             n_rows / timings["match_captions_native"], 1
         ),
+        "engine_match_captions_arrow_per_sec": round(
+            n_rows / timings["match_captions_arrow"], 1
+        ),
         "cores": cpus,
     }
     print(json.dumps(result))
