@@ -359,10 +359,14 @@ def _collect_caption_index(entries: DataFrame):
     Building this in driver Python instead of a Spark plan trades ~8
     tiny dimension jobs (DF groupBy, two windows, three broadcasts) for
     ONE collect — measurable fixed latency on the 600 k hot path, and
-    byte-identical index content. Returns (index_rows, meta_rows):
-    index_rows = (token, rank, nsize, keep, dropped_token) with nsize
-    the RAW token count (min-size rule counts duplicates,
-    Sanctions.pm:430), meta_rows = (rank, source, name).
+    byte-identical index content. Returns (index_rows, meta_rows,
+    df_blob): index_rows = (token, rank, nsize, keep, dropped_token,
+    name_token_set) with nsize the RAW token count (min-size rule
+    counts duplicates, Sanctions.pm:430), meta_rows = (rank, source,
+    name), and df_blob a ``tok:df,tok:df,...`` string for
+    ``str_to_map`` — the probe side needs the SAME global (DF, token)
+    order to apply its own prefix drop (tokens are A-Z only after
+    clean_name_tokens, so "," and ":" are safe separators).
     """
     rows = (
         build_name_dim(entries)
@@ -385,8 +389,9 @@ def _collect_caption_index(entries: DataFrame):
         )
         nsize = len(r["name_tokens"])
         for t in ts:
-            index_rows.append((t, rank, nsize, t != dropped, dropped))
-    return index_rows, meta_rows
+            index_rows.append((t, rank, nsize, t != dropped, dropped, ts))
+    df_blob = ",".join(f"{t}:{n}" for t, n in df_counts.items())
+    return index_rows, meta_rows, df_blob
 
 
 def match_captions(
@@ -421,34 +426,40 @@ def match_captions(
     bounded — the round-4 fulldim cost was candidate fan-out through
     high-DF tokens feeding a SortAggregate):
 
-    1. ONE broadcast hash join: each probe token occurrence, tagged
-       ``__rescue = false``, plus the rare rescue tokens (single-token
-       probes: their one token; multi-token probes: tokens duplicated
-       ≥2×), tagged ``true``, against the DF-capped index
-       (:func:`_collect_caption_index`) with residual condition
-       ``__rescue != __keep`` — normal occurrences see only kept
-       postings (fan-out cap), rescue occurrences see only dropped
-       postings. Joined rows carry only integers + the probe token
-       array for one O(|probe|) equality scan.
-    2. ``n_hits`` via counting: grouped by (row-key, ``__rank``),
-       ``count(*)`` is the probe-multiplicity hit count over the name's
-       kept tokens; hits on the name's single dropped token are
-       recovered by ``size(filter(ptokens, = dropped))`` — O(|probe|)
-       per joined row vs the old O(|probe| × |name|) array scan.
-    3. Match iff ``any(__rescue)`` (rescue classes match
-       unconditionally: a single-token probe hit has min_size == 1; a
-       ≥2× duplicated token hit alone gives n_hits ≥ 2) OR
-       ``psize == 1`` OR ``nsize == 1`` OR ``cnt + dropped_hits ≥ 2``.
-       For groups with no rescue row, cnt + dropped_hits is EXACTLY the
-       reference's multiplicity-preserving n_hits (kept + dropped
-       partitions the name's token set), so this is equivalent to
-       Sanctions.pm:421-437 (n_hits > 1, or == 1 with
-       min(|p|,|n|) == 1; psize == 1 caps n_hits at 1, and nsize == 1
-       with any hit always matches). A rescue row makes cnt inexact —
-       and also makes the verdict unconditionally true, so exactness
-       there is moot. Completeness of retrieval: a matching pair with
-       no kept hit shares ONLY the dropped token, so it needs
-       multiplicity ≥ 2 (dup rescue) or psize == 1 (single rescue).
+    1. Prefix filter on BOTH sides (ppjoin-style, one global
+       (DF, token) order shared via the index's df_blob): the name
+       side drops its max-order token from the kept postings
+       (:func:`_collect_caption_index`), and each multi-token probe
+       drops ITS max-order token (``__pdrop``) from candidate
+       generation. For an overlap-≥2 match the smallest common token
+       under the global order provably survives in both prefixes (it
+       can equal neither side's max, since a second, larger common
+       token exists), so every such pair is still retrieved.
+    2. ONE broadcast hash join over a tagged explode:
+       tag 'p' = prefix occurrences (all occurrences ≠ ``__pdrop``) →
+       join kept postings; tag 'x' = ``__pdrop`` once → join
+       single-token-name postings only (those match on any shared
+       token); tag 'r' = rescue tokens (single-token probes: their
+       token; tokens duplicated ≥2×) → join ALL postings (a
+       duplicated shared token alone gives n_hits ≥ 2; a single-token
+       probe hit has min_size == 1 — both match unconditionally).
+       Joined rows carry integers + the probe token array + two token
+       strings.
+    3. ``n_hits`` via counting: grouped by (row-key, ``__rank``),
+       ``count(*)`` over 'p' rows is the probe-multiplicity hit count
+       of prefix tokens on the name's kept tokens. The two excluded
+       slices are recovered per joined row in O(|probe|): hits on the
+       name's dropped token ``size(filter(ptokens, = __dropped))``,
+       and hits of the probe's dropped token on the name
+       ``array_contains(__ntokens, __pdrop)``-gated (skipped when
+       ``__pdrop == __dropped`` — those occurrences are already in the
+       first term). prefix×kept, =__dropped, and (=__pdrop ∩ name,
+       ≠__dropped) partition the hit multiset, so for groups with no
+       forcing row ``cnt + __dhits + __pdhits`` is EXACTLY the
+       reference's n_hits (Sanctions.pm:421-437) and the predicate
+       ``force | psize==1 | nsize==1 | n_hits ≥ 2`` is equivalent to
+       (n_hits > 1) | (n_hits == 1 & min(|p|,|n|) == 1). 'x'/'r' rows
+       pollute cnt only in groups they force to true.
     4. Verdict reduction: ``min(__rank)`` (HashAggregate — the round-4
        ``min(struct)`` planned SortAggregate), then a broadcast join
        back to the rank→(source, name) map.
@@ -459,12 +470,12 @@ def match_captions(
     ~2^-64 event per file pair, documented as accepted.
     """
     spark = images.sparkSession
-    index_rows, meta_rows = _collect_caption_index(entries)
+    index_rows, meta_rows, df_blob = _collect_caption_index(entries)
     index = F.broadcast(
         spark.createDataFrame(
             index_rows,
             "__itoken string, __rank int, __nsize int, __keep boolean, "
-            "__dropped string",
+            "__dropped string, __ntokens array<string>",
         )
     )
     rank_map = F.broadcast(
@@ -476,18 +487,36 @@ def match_captions(
     # divergence). File-backed inputs get a retry-deterministic
     # (file_path, row_index) key; see _with_physical_row_key.
     ptokens = F.col("__ptokens")
+    # probe-side prefix drop: argmax over distinct tokens of
+    # (DF, token) — the dimension's DF map rides as one constant-folded
+    # str_to_map literal (tokens are letters-only, so , : are safe).
+    # Unknown tokens carry DF 0; dropping one of those saves nothing
+    # but stays correct (no postings to miss).
+    dfmap = F.str_to_map(F.lit(df_blob or ""), F.lit(","), F.lit(":"))
+    pdrop = F.array_max(
+        F.transform(
+            F.array_distinct(ptokens),
+            lambda t: F.struct(
+                F.coalesce(dfmap[t].cast("int"), F.lit(0)).alias("df"),
+                t.alias("t"),
+            ),
+        )
+    ).getField("t")
     prepared = (
         _with_physical_row_key(images, id_col, caption_col)
         .withColumn("__ptokens", clean_name_tokens(F.col(caption_col)))
         .filter(F.size("__ptokens") > 0)
         .withColumn("__rkey", F.xxhash64("__rfile"))
         .withColumn("__psize", F.size("__ptokens"))
+        .withColumn("__pdrop", pdrop)
     )
 
-    # rescue tokens: the O(|p|²) multiplicity scan runs only on the
-    # rare rows that actually contain duplicates (cheap distinct-size
-    # gate); single-token probes rescue with their one token
-    rescue_tokens = F.when(F.col("__psize") == 1, ptokens).otherwise(
+    # rescue tokens ('r'): the O(|p|²) multiplicity scan runs only on
+    # the rare rows that actually contain duplicates (cheap
+    # distinct-size gate); single-token probes rescue with their token
+    rescue_tokens = F.when(
+        F.col("__psize") == 1, F.array_distinct(ptokens)
+    ).otherwise(
         F.when(
             F.size(F.array_distinct(ptokens)) < F.col("__psize"),
             F.array_distinct(
@@ -498,42 +527,56 @@ def match_captions(
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
+
+    def _tag(tokens: Column, tag: str) -> Column:
+        return F.transform(
+            tokens,
+            lambda t: F.struct(t.alias("__token"), F.lit(tag).alias("__tag")),
+        )
+
     tagged = F.concat(
-        F.transform(
-            ptokens,
-            lambda t: F.struct(
-                t.alias("__token"), F.lit(False).alias("__rescue")
+        _tag(F.filter(ptokens, lambda t: t != F.col("__pdrop")), "p"),
+        _tag(
+            F.when(F.col("__psize") >= 2, F.array(F.col("__pdrop"))).otherwise(
+                F.array().cast("array<string>")
             ),
+            "x",
         ),
-        F.transform(
-            rescue_tokens,
-            lambda t: F.struct(
-                t.alias("__token"), F.lit(True).alias("__rescue")
-            ),
-        ),
+        _tag(rescue_tokens, "r"),
     )
     exploded = prepared.select(
-        "__rkey", "__rid", "__pid", "__psize", "__ptokens",
+        "__rkey", "__rid", "__pid", "__psize", "__ptokens", "__pdrop",
         F.explode(tagged).alias("__t"),
     ).select(
-        "__rkey", "__rid", "__pid", "__psize", "__ptokens",
+        "__rkey", "__rid", "__pid", "__psize", "__ptokens", "__pdrop",
         F.col("__t.__token").alias("__token"),
-        F.col("__t.__rescue").alias("__rescue"),
+        F.col("__t.__tag").alias("__tag"),
     )
+    tag = F.col("__tag")
     joined = exploded.join(
         index,
         (F.col("__token") == F.col("__itoken"))
-        & (F.col("__rescue") != F.col("__keep")),
+        & (
+            ((tag == "p") & F.col("__keep"))
+            | ((tag == "x") & (F.col("__nsize") == 1))
+            | (tag == "r")
+        ),
     )
     dropped_hits = F.when(
         F.col("__dropped").isNotNull(),
         F.size(F.filter(ptokens, lambda t: t == F.col("__dropped"))),
     ).otherwise(F.lit(0))
+    pdrop_hits = F.when(
+        ~F.col("__pdrop").eqNullSafe(F.col("__dropped"))
+        & F.array_contains(F.col("__ntokens"), F.col("__pdrop")),
+        F.size(F.filter(ptokens, lambda t: t == F.col("__pdrop"))),
+    ).otherwise(F.lit(0))
     best = (
         joined.select(
             "__rkey", "__rid", "__pid", "__psize", "__rank", "__nsize",
             dropped_hits.alias("__dhits"),
-            F.col("__rescue").cast("int").alias("__force"),
+            pdrop_hits.alias("__pdhits"),
+            (tag != "p").cast("int").alias("__force"),
         )
         .groupBy("__rkey", "__rid", "__pid", "__rank")
         .agg(
@@ -541,13 +584,14 @@ def match_captions(
             F.max("__psize").alias("__psize"),
             F.max("__nsize").alias("__nsize"),
             F.max("__dhits").alias("__dhits"),
+            F.max("__pdhits").alias("__pdhits"),
             F.max("__force").alias("__force"),
         )
         .filter(
             (F.col("__force") == 1)
             | (F.col("__psize") == 1)
             | (F.col("__nsize") == 1)
-            | (F.col("__cnt") + F.col("__dhits") >= 2)
+            | (F.col("__cnt") + F.col("__dhits") + F.col("__pdhits") >= 2)
         )
         .groupBy("__rkey", "__rid", "__pid")
         .agg(F.min("__rank").alias("__rank"))

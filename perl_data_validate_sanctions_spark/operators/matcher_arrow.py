@@ -65,12 +65,16 @@ class _MatcherIndex:
     full-dimension screening O(thousands of candidates per caption)
     are consulted only for the rare rescue probes."""
 
-    __slots__ = ("token_to_cands", "dropped_to_cands", "cand_tokens",
-                 "cand_nsize", "cand_meta")
+    __slots__ = ("token_to_cands", "dropped_to_cands", "single_to_cands",
+                 "df", "cand_tokens", "cand_nsize", "cand_meta")
 
     def __init__(self, rows: list[dict[str, Any]]):
         self.token_to_cands: dict[str, list[int]] = {}
         self.dropped_to_cands: dict[str, list[int]] = {}
+        # postings restricted to single-token names: the probe's own
+        # dropped token consults ONLY these (any shared token matches a
+        # single-token name), never the full high-DF posting list
+        self.single_to_cands: dict[str, list[int]] = {}
         self.cand_tokens: list[frozenset[str]] = []
         # RAW token count: the reference's min-size rule counts
         # duplicated name tokens (Sanctions.pm:430), len(frozenset)
@@ -87,6 +91,7 @@ class _MatcherIndex:
         for toks in self.cand_tokens:
             for t in toks:
                 df[t] = df.get(t, 0) + 1
+        self.df = df
         for idx, toks in enumerate(self.cand_tokens):
             # same drop choice as the native index: max (DF, token)
             dropped = (
@@ -98,24 +103,38 @@ class _MatcherIndex:
                     else self.token_to_cands
                 )
                 target.setdefault(t, []).append(idx)
+                if len(toks) == 1:
+                    self.single_to_cands.setdefault(t, []).append(idx)
 
     def match_caption_tokens(self, ptokens: list[str]):
         """J1 candidate union + J2 rule; returns best (source, name) by
         (source, name, entry_id) or None — same deterministic choice as
-        the native path's min-rank reduction with tier fixed at 1."""
+        the native path's min-rank reduction with tier fixed at 1.
+
+        Candidate generation mirrors the native path's BOTH-sides
+        prefix filter: the probe's own max-(DF, token) token consults
+        only the single-token-name postings; rescue tokens
+        (single-token probes, duplicates ≥2×) consult everything. The
+        per-candidate predicate below stays exact."""
         if not ptokens:
             return None
         distinct = set(ptokens)
         cands: set[int] = set()
-        for t in distinct:
-            cands.update(self.token_to_cands.get(t, ()))
         if len(ptokens) == 1:
             rescue: set[str] = distinct
-        elif len(distinct) < len(ptokens):
-            rescue = {t for t in distinct if ptokens.count(t) >= 2}
         else:
-            rescue = set()
+            df = self.df
+            pdrop = max(distinct, key=lambda t: (df.get(t, 0), t))
+            for t in distinct:
+                if t != pdrop:
+                    cands.update(self.token_to_cands.get(t, ()))
+            cands.update(self.single_to_cands.get(pdrop, ()))
+            if len(distinct) < len(ptokens):
+                rescue = {t for t in distinct if ptokens.count(t) >= 2}
+            else:
+                rescue = set()
         for t in rescue:
+            cands.update(self.token_to_cands.get(t, ()))
             cands.update(self.dropped_to_cands.get(t, ()))
         if not cands:
             return None

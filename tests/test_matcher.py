@@ -321,3 +321,68 @@ def test_caption_match_df_cap_rescue_classes(spark):
             for r in matcher(images, entries).collect()
         }
         assert got == expect, matcher.__name__
+
+
+def test_caption_match_randomized_vs_bruteforce(spark):
+    """Randomized stress for the both-sides prefix filter: a tiny token
+    alphabet forces heavy DF collisions, duplicate tokens, single-token
+    probes and single-token names. Native and Arrow must both equal a
+    brute-force evaluation of the reference rule (Sanctions.pm:421-437:
+    multiplicity n_hits > 1, or == 1 with min(|p|,|n|) == 1; verdict =
+    lexicographic min over (source, name, entry_id))."""
+    import random
+
+    from perl_data_validate_sanctions_spark.schema import ENTRY_SCHEMA
+
+    rng = random.Random(20260817)
+    alphabet = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    entries_rows = []
+    for eid in range(40):
+        names = []
+        for _ in range(rng.randint(1, 3)):
+            k = rng.randint(1, 4)
+            names.append(" ".join(rng.choices(alphabet, k=k)))
+        entries_rows.append((eid, f"src-{eid % 3}", names) + (None,) * 10)
+    entries = spark.createDataFrame(entries_rows, ENTRY_SCHEMA)
+
+    captions = []
+    for i in range(400):
+        k = rng.randint(1, 6)
+        captions.append((f"c{i:04d}", " ".join(rng.choices(alphabet, k=k))))
+    images = spark.createDataFrame(captions, "image_id string, caption string")
+
+    # brute force over the same cleaned-token space
+    from perl_data_validate_sanctions_spark.operators.matcher_arrow import (
+        _clean_tokens_py,
+    )
+
+    dim = []
+    for eid, src, names, *_ in entries_rows:
+        for nm in names:
+            pretty = nm[:1].upper() + nm[1:]
+            dim.append((src, pretty, eid, _clean_tokens_py(pretty)))
+    expect = {}
+    for cid, cap in captions:
+        ptoks = _clean_tokens_py(cap)
+        best = None
+        for src, pretty, eid, ntoks in dim:
+            hits = sum(1 for t in ptoks if t in ntoks)
+            if hits > 1 or (hits == 1 and min(len(ptoks), len(ntoks)) == 1):
+                key = (src, pretty, eid)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            expect[cid] = (best[0], best[1])
+
+    for matcher in (match_captions, match_captions_arrow):
+        got = {
+            r["image_id"]: (r["list"], r["matched_name"])
+            for r in matcher(images, entries).collect()
+        }
+        assert got == expect, (
+            matcher.__name__,
+            {k: (got.get(k), expect.get(k))
+             for k in set(got) ^ set(expect) | {k for k in got
+                                               if got.get(k) != expect.get(k)}},
+        )
+    assert len(expect) > 50  # the fixture must actually exercise matches
