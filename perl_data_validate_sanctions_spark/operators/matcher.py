@@ -522,7 +522,18 @@ def match_captions(
     # df_eff, so both sides share one exact global (df_eff, token)
     # order. Unknown tokens read whatever their slot holds — harmless,
     # the proof needs only a shared total order.
-    df_arr_lit = F.lit(df_arr)
+    #
+    # Construction cost matters as much as evaluation cost here:
+    # ``F.lit(list)`` expands to 32,768 py4j ``lit`` round-trips plus a
+    # CreateArray the analyzer walks child-by-child — measured ~23 s of
+    # DRIVER time per match_captions call (the plan is built fresh per
+    # call), which dwarfed the ~5 s execution. One string literal split
+    # and cast is a single py4j transfer, and Catalyst's ConstantFolding
+    # collapses split(lit)+cast to the identical folded array literal
+    # before codegen, so the per-row lookup stays O(1).
+    df_arr_lit = F.split(
+        F.lit(",".join(map(str, df_arr))), ","
+    ).cast("array<int>")
     pdrop = F.array_max(
         F.transform(
             F.array_distinct(ptokens),
