@@ -35,46 +35,64 @@ def build_images(spark, n_rows: int, cache_dir: str):
 
 
 def build_mixed_images(spark, n_rows: int, cache_dir: str,
-                       png_mod: int = 20):
-    """The headline-suite fixture: the synthetic table with ~1/png_mod
+                       real_mod: int = 20):
+    """The headline-suite fixture: the synthetic table with ~1/real_mod
     of its rows converted to REAL 64×48 grayscale PNG payloads (stdlib
-    zlib encode of the reference pixels, sources/png.py) so the flagship
-    number exercises the format sniff + real zlib/unfilter decode path
-    (checks/integrity.py) — not only the synthetic fake codec. PNG rows
-    keep their image_id/caption/phash (uniqueness, referential,
-    sanctioned and caption-equality semantics unchanged); w/h/fmt
-    become 64/48/png (schema range checks still pass). Every 100th
-    converted row (by numeric id) gets one IDAT byte flipped — planted
+    zlib encode of the reference pixels, sources/png.py) and another
+    ~1/real_mod to REAL baseline JPEGs (stdlib+numpy T.81 encode at
+    q95, sources/jpeg.py — the LOSSY leg of the PSNR invariant), so
+    the flagship number exercises the format sniff + both real decode
+    paths (checks/integrity.py) — not only the synthetic fake codec.
+    Converted rows keep their image_id/caption/phash (uniqueness,
+    referential, sanctioned and caption-equality semantics unchanged);
+    w/h/fmt become 64/48/png|jpeg (schema range checks still pass).
+    Every 100th converted row (by numeric id) carries planted
     corruption the integrity check must surface in the violation
-    rollup."""
+    rollup: PNG rows get one IDAT byte flipped (CRC failure), JPEG
+    rows get their tail truncated (scan never reaches EOI — JPEG has
+    no CRC, so a mid-stream flip may decode; truncation is the
+    deterministic corruption for a lossy bitstream)."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
-    path = f"{cache_dir}/images_mixed_{n_rows}_{png_mod}.parquet"
+    path = f"{cache_dir}/images_mixed_{n_rows}_{real_mod}pj.parquet"
     if not os.path.isdir(path):
-        from perl_data_validate_sanctions_spark.sources import codec, png
+        from perl_data_validate_sanctions_spark.sources import (
+            codec, jpeg, png,
+        )
         from perl_data_validate_sanctions_spark.sources.synth import (
             synth_images,
         )
 
         base = synth_images(spark, n_rows, num_partitions=64)
-        is_png = F.pmod(F.xxhash64("image_id"), F.lit(png_mod)) == 0
+        residue = F.pmod(F.xxhash64("image_id"), F.lit(real_mod))
+        is_real = residue <= 1  # 0 → png, 1 → jpeg
         W, H = 64, 48
 
         def enc(batches):
             for pdf in batches:
                 rows = []
-                for iid, cap, ph in zip(
-                    pdf["image_id"], pdf["caption"], pdf["phash"]
+                for iid, cap, ph, res in zip(
+                    pdf["image_id"], pdf["caption"], pdf["phash"],
+                    pdf["residue"],
                 ):
-                    blob = bytearray(
-                        png.encode_png_gray(codec.decode_reference(iid, W, H))
-                    )
-                    if int(iid[4:]) % 100 == 0:
-                        blob[len(blob) // 2] ^= 0xFF  # planted corruption
+                    ref = codec.decode_reference(iid, W, H)
+                    planted = int(iid[4:]) % 100 == 0
+                    if int(res) == 0:
+                        blob = bytearray(png.encode_png_gray(ref))
+                        if planted:
+                            blob[len(blob) // 2] ^= 0xFF
+                        fmt = "png"
+                    else:
+                        blob = bytearray(
+                            jpeg.encode_jpeg_gray(ref, quality=95)
+                        )
+                        if planted:
+                            del blob[-10:]
+                        fmt = "jpeg"
                     rows.append(
-                        (iid, bytes(blob), W, H, "png",
+                        (iid, bytes(blob), W, H, fmt,
                          None if cap is None else cap,
                          None if ph is None else int(ph))
                     )
@@ -83,16 +101,17 @@ def build_mixed_images(spark, n_rows: int, cache_dir: str,
                                    "caption", "phash"],
                 )
 
-        png_rows = (
-            base.filter(is_png)
-            .select("image_id", "caption", "phash")
+        real_rows = (
+            base.filter(is_real)
+            .select("image_id", "caption", "phash",
+                    residue.alias("residue"))
             .mapInPandas(
                 enc,
                 "image_id string, bytes binary, w int, h int, fmt string, "
                 "caption string, phash long",
             )
         )
-        base.filter(~is_png).unionByName(png_rows).write.mode(
+        base.filter(~is_real).unionByName(real_rows).write.mode(
             "overwrite"
         ).parquet(path)
     return spark.read.parquet(path)
@@ -164,6 +183,74 @@ def bench_png_integrity(spark, n_rows: int, cache_dir: str) -> float:
     return wall
 
 
+def build_jpeg_images(spark, n_rows: int, cache_dir: str):
+    """n_rows REAL baseline grayscale JPEGs (64×48, stdlib+numpy q95
+    encode of the reference pixels; every 100th truncated) persisted
+    once as parquet."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    path = f"{cache_dir}/jpeg_images_{n_rows}.parquet"
+    if not os.path.isdir(path):
+        from perl_data_validate_sanctions_spark.sources import codec, jpeg
+
+        W, H = 64, 48
+
+        def enc(batches):
+            for pdf in batches:
+                rows = []
+                for iid in pdf["image_id"]:
+                    blob = bytearray(jpeg.encode_jpeg_gray(
+                        codec.decode_reference(iid, W, H), quality=95
+                    ))
+                    if int(iid[4:]) % 100 == 0:
+                        del blob[-10:]  # planted corruption (truncation)
+                    rows.append((iid, bytes(blob), W, H, "jpeg", None, 0))
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash"],
+                )
+
+        (
+            spark.range(n_rows)
+            .repartition(32)
+            .select(F.format_string("jpg-%09d", "id").alias("image_id"))
+            .mapInPandas(
+                enc,
+                "image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long",
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def bench_jpeg_integrity(spark, n_rows: int, cache_dir: str) -> float:
+    """Wall seconds for the integrity check over real baseline-JPEG
+    payloads — every byte travels the stdlib+numpy decode (Huffman LUT
+    + vectorized IDCT), pixels compare against the reference under the
+    lossy PSNR>=40dB gate."""
+    from pyspark.sql import functions as F
+
+    from perl_data_validate_sanctions_spark.checks.integrity import (
+        integrity_violations,
+    )
+    from perl_data_validate_sanctions_spark.sources.synth import (
+        logical_partition,
+    )
+
+    df = build_jpeg_images(spark, n_rows, cache_dir)
+    t0 = time.time()
+    n_bad = integrity_violations(
+        df, logical_partition("image_id"), F.lit(None).cast("string")
+    ).count()
+    wall = time.time() - t0
+    assert n_bad == n_rows // 100, f"planted corruption miscount: {n_bad}"
+    return wall
+
+
 def run_suite(spark, images, entries, ref_keys, checks=None,
               pixel_sample=None):
     """One full validation pass; returns (wall seconds, {check: n_viol})
@@ -222,22 +309,24 @@ def main() -> None:
     # measure the suite, not the fixed-size micro-query section
     suite_only = os.environ.get("PDVS_BENCH_SUITE_ONLY") == "1"
 
-    # headline-suite fixture: ~5% REAL PNG payloads (round-5 task: the
-    # flagship number must exercise the sniff + stdlib-decode path).
+    # headline-suite fixture: ~5% REAL PNG + ~5% REAL baseline-JPEG
+    # payloads (round-5 task: the flagship number must exercise the
+    # sniff + both stdlib-decode paths, lossless AND lossy).
     # The scaling legs (suite_only) keep the pure-synth table so the
     # N-vs-4N artifact stays comparable across rounds.
     if suite_only:
         suite_images = images
-        n_planted_png = 0
+        n_planted_real = 0
     else:
         from pyspark.sql import functions as F
 
         suite_images = build_mixed_images(spark, n_rows, cache_dir)
-        # converted rows are exactly pmod(xxhash64(id), 20) == 0 (same
-        # predicate as the builder — synth rows with fmt='png' that were
-        # NOT converted carry fake-codec payloads and are never flipped)
-        n_planted_png = suite_images.filter(
-            (F.pmod(F.xxhash64("image_id"), F.lit(20)) == 0)
+        # converted rows are exactly pmod(xxhash64(id), 20) <= 1 (same
+        # predicate as the builder — 0 is PNG, 1 is JPEG; synth rows
+        # with fmt='png'/'jpeg' that were NOT converted carry
+        # fake-codec payloads and are never corrupted)
+        n_planted_real = suite_images.filter(
+            (F.pmod(F.xxhash64("image_id"), F.lit(20)) <= 1)
             & (F.substring("image_id", 5, 12).cast("long") % 100 == 0)
         ).count()
 
@@ -407,11 +496,12 @@ def main() -> None:
     t_run2, _ = run_suite(spark, suite_images, entries, ref_keys,
                           pixel_sample=PIXEL_SAMPLE)
     t_full = min(t_run1, t_run2)
-    if n_planted_png:
-        # the flagship number must really drive the PNG decode: every
-        # planted IDAT flip surfaces as an integrity violation
-        assert summary1.get("integrity", 0) >= n_planted_png, (
-            summary1, n_planted_png
+    if n_planted_real:
+        # the flagship number must really drive both real decodes:
+        # every planted IDAT flip (PNG) and truncated scan (JPEG)
+        # surfaces as an integrity violation
+        assert summary1.get("integrity", 0) >= n_planted_real, (
+            summary1, n_planted_real
         )
     timings["validate_full_suite"] = round(t_full, 3)
     timings["validate_full_suite_run1"] = round(t_run1, 3)
@@ -437,6 +527,14 @@ def main() -> None:
     # zlib+unfilter path (sources/png.py) — the non-stub codec, timed
     timings["integrity_png_real_decode_20k"] = round(
         bench_png_integrity(spark, 20_000, cache_dir), 3
+    )
+
+    # REAL-decode integrity on baseline-JPEG payloads: 20k stdlib+numpy
+    # q95 encodes (1% truncated), validated end-to-end through the
+    # format-sniffed Huffman/IDCT path (sources/jpeg.py) under the
+    # lossy PSNR gate — the north rule's "PSNR>=40dB for lossy", timed
+    timings["integrity_jpeg_real_decode_20k"] = round(
+        bench_jpeg_integrity(spark, 20_000, cache_dir), 3
     )
 
     # suite with verdict/violation sinks written to parquet (the 100 TB
@@ -499,9 +597,10 @@ def main() -> None:
         "images_per_sec": round(n_rows / t_full, 1),
         "integrity_mode": f"sampled{4096}+exact-escalation "
                           "(violations exactly confirmed)",
-        "suite_fixture": "mixed: ~5% real stdlib-encoded PNG payloads "
-                         "(planted IDAT corruptions verified found)",
-        "n_planted_png_corruptions": n_planted_png,
+        "suite_fixture": "mixed: ~5% real stdlib PNG + ~5% real "
+                         "baseline-JPEG payloads (planted IDAT flips "
+                         "and truncated scans verified found)",
+        "n_planted_real_corruptions": n_planted_real,
         "single_node_reference_proxy_captions_per_sec": single_node_qps,
         "engine_match_captions_per_sec": round(
             n_rows / timings["match_captions_native"], 1

@@ -39,10 +39,10 @@ Two evaluation modes:
 
 The decode is format-sniffed per row: payloads bearing the PNG
 signature take the REAL end-to-end path (stdlib zlib + unfiltering,
-sources/png.py — no image libraries needed) with the same PSNR gate;
-synthetic PDVS1 payloads use the deterministic stub codec
-(sources/codec.py). Other real formats (JPEG) still await Pillow —
-see ``codec.real_decode``. Per-partition error isolation mirrors the
+sources/png.py), JPEG SOI-marker payloads the real baseline-DCT path
+(sources/jpeg.py) — no image libraries needed for either — both under
+the same PSNR gate; synthetic PDVS1 payloads use the deterministic
+stub codec (sources/codec.py). Per-partition error isolation mirrors the
 reference's per-source try/except (Fetcher.pm:830-859): a row that
 fails to decode becomes a violation row, never a task failure."""
 
@@ -57,12 +57,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..schema import VIOLATION_SCHEMA
-from ..sources import codec, png
+from ..sources import codec, jpeg, png
 
 _OUT = "partition_id int, image_id string, column string, detail string"
 
 
-def _check_png_row(
+def _check_real_row(
     pid: int,
     iid: str,
     blob: bytes,
@@ -71,16 +71,22 @@ def _check_png_row(
     col_fmt: str,
     mse_limit: float,
     thr: float,
+    decode,
+    fmt_name: str,
 ) -> list[tuple]:
-    """Integrity verdict for one PNG payload: stdlib decode, header
-    cross-check, exact full-pixel PSNR vs the reference image."""
+    """Integrity verdict for one real-codec payload (PNG or baseline
+    JPEG): full decode, header cross-check, exact full-pixel PSNR vs
+    the reference image. For the lossless format (PNG) any nonzero
+    noise below the gate is the fixture's doing; for the lossy one
+    (JPEG) the PSNR gate IS the invariant — the north rule's
+    "allclose, PSNR >= 40 dB for lossy formats"."""
     try:
-        dw, dh, pixels = png.decode_png_gray(blob)
+        dw, dh, pixels = decode(blob)
     except ValueError as e:
         return [(pid, iid, "bytes", f"undecodable payload: {e}")]
-    if (dw, dh, "png") != (col_w, col_h, col_fmt):
+    if (dw, dh, fmt_name) != (col_w, col_h, col_fmt):
         return [(pid, iid, "bytes",
-                 f"header (png,{dw},{dh}) != columns "
+                 f"header ({fmt_name},{dw},{dh}) != columns "
                  f"({col_fmt},{col_w},{col_h})")]
     ref = codec.decode_reference(iid, dw, dh)
     d = pixels.astype(np.int64) - ref.astype(np.int64)
@@ -252,16 +258,24 @@ def integrity_violations(
                 if blob is None:
                     out.append((int(parts[i]), iid, "bytes", "null payload"))
                     continue
-                if bytes(blob[:8]) == png.PNG_MAGIC:
-                    # real-decode mode: PNG payloads decode end-to-end
-                    # via the stdlib codec; pixels compare against the
-                    # same reference under the same PSNR gate. PNG rows
-                    # carry explicit pixels, so the sampled fast path
-                    # doesn't apply (decode already touches every byte).
+                head = bytes(blob[:8])
+                if head == png.PNG_MAGIC or head[:3] == jpeg.JPEG_MAGIC:
+                    # real-decode mode: PNG/baseline-JPEG payloads
+                    # decode end-to-end via the stdlib codecs; pixels
+                    # compare against the same reference under the same
+                    # PSNR gate. Real rows carry explicit pixels, so
+                    # the sampled fast path doesn't apply (decode
+                    # already touches every byte).
+                    dec, fname = (
+                        (png.decode_png_gray, "png")
+                        if head == png.PNG_MAGIC
+                        else (jpeg.decode_jpeg_gray, "jpeg")
+                    )
                     out.extend(
-                        _check_png_row(
+                        _check_real_row(
                             int(parts[i]), iid, bytes(blob),
                             int(ws[i]), int(hs[i]), fmts[i], mse_limit, thr,
+                            dec, fname,
                         )
                     )
                     continue

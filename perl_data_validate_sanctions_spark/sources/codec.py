@@ -285,25 +285,32 @@ def real_decode(payload: bytes) -> np.ndarray:
     """Real-codec path.
 
     PNG payloads decode END-TO-END with the stdlib-only decoder
-    (sources/png.py: zlib inflate + RFC 2083 unfiltering — no Pillow
-    needed); other formats (JPEG etc.) still require Pillow, which this
-    container does not ship, and raise ``NotImplementedError`` with the
-    swap instructions. ``checks/integrity.py`` sniffs the PNG signature
-    itself and validates PNG pixels against the reference image, so the
-    integrity check's real-decode mode is live for PNG today."""
+    (sources/png.py: zlib inflate + RFC 2083 unfiltering) and baseline
+    grayscale JPEG with the stdlib+numpy ITU-T T.81 decoder
+    (sources/jpeg.py) — no Pillow needed for either. Other formats
+    (webp etc.) still require Pillow, which this container does not
+    ship, and raise ``NotImplementedError`` with the swap instructions.
+    ``checks/integrity.py`` sniffs both signatures itself and validates
+    decoded pixels against the reference image, so the integrity
+    check's real-decode mode is live for PNG and JPEG today."""
+    from . import jpeg as _jpeg
     from . import png as _png
 
     blob = bytes(payload)
     if blob[:8] == _png.PNG_MAGIC:
         _, _, pixels = _png.decode_png_gray(blob)
         return pixels
+    if blob[:3] == _jpeg.JPEG_MAGIC:
+        _, _, pixels = _jpeg.decode_jpeg_gray(blob)
+        return pixels
     try:  # pragma: no cover - container has no PIL
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG real decode requires Pillow, which is not available "
-            "in this environment; PNG payloads decode via the stdlib "
-            "codec (sources/png.py), and the deterministic fake codec "
+            "non-PNG/JPEG real decode requires Pillow, which is not "
+            "available in this environment; PNG and baseline JPEG "
+            "payloads decode via the stdlib codecs (sources/png.py, "
+            "sources/jpeg.py), and the deterministic fake codec "
             "(decode()) covers the synthetic PDVS1 format"
         ) from e
     import io  # pragma: no cover
