@@ -432,6 +432,58 @@ FROM m
 """
 
 
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprints (operators/text.py:
+    rolling_fingerprints — w=5 token shingles, keep the 8 smallest
+    hashes), exploded to (doc_id, fp) rows. Uses the md5_60 portable
+    hash so the DuckDB oracle reproduces the ENTIRE pipeline
+    bit-for-bit: tokenize → shingle → hash → distinct → min-8.
+    Production callers default to xxhash64 (same sketch semantics,
+    JVM-native speed); the only difference is the hash function."""
+    from perl_data_validate_sanctions_spark.operators.text import (
+        rolling_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            rolling_fingerprints("text", w=5, keep=8, hash="md5_60")
+        ).alias("fp"),
+    )
+
+
+def _rolling_fp_oracle(w: int = 5, keep: int = 8) -> str:
+    hexparse = " + ".join(
+        f"(strpos('0123456789abcdef', substr(m, {i + 1}, 1)) - 1) "
+        f"* {16 ** (14 - i)}::BIGINT"
+        for i in range(15)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {w - 1}, 1) + 1)) AS i
+  FROM t
+), sh AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i:i + {w - 1}], ' ')) AS m
+  FROM pos
+), h AS (
+  SELECT DISTINCT doc_id, ({hexparse}) AS fp FROM sh
+), ranked AS (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rn
+  FROM h
+)
+SELECT doc_id, fp FROM ranked WHERE rn <= {keep}
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.35 — documents
     share a 31-word vocabulary, so real pairs exist at small SF);
@@ -1173,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "rolling_fingerprints": q_rolling_fingerprints,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "ann_topk": q_ann_topk,
@@ -1212,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _TOKEN_ORACLE,
         "lang_id": _lang_oracle(),
         "quality_score": _QUALITY_ORACLE,
+        "rolling_fingerprints": _rolling_fp_oracle(),
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
         "exact_dup_groups": _EXACT_DUP_ORACLE,
         "ann_topk": _ANN_ORACLE,

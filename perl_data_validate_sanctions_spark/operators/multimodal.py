@@ -3,11 +3,14 @@ columns with typed metadata, processed via ``mapInPandas`` over Arrow
 batches.
 
 The Spark-side plumbing (schemas, batch iteration, partitioning, output
-contracts) is real and tested; the codec innards use the deterministic
-stub codec (sources/codec.py) because the container ships no image/audio
-libraries — each function documents the one line to swap for a real
-decoder (``codec.real_decode`` raises NotImplementedError explaining
-this)."""
+contracts) is real and tested. Decode is format-sniffed per row, same
+as checks/integrity.py: PNG and baseline-JPEG payloads decode FOR REAL
+through the stdlib codecs (sources/png.py, sources/jpeg.py — per-row,
+as any real bitstream demands, inside the Arrow worker); synthetic
+PDVS1 payloads use the deterministic stub codec (sources/codec.py)
+whose batch renderer keeps per-row Python to the header parse. Other
+formats (webp) still document the one line to swap for a Pillow-backed
+decoder (``codec.real_decode``)."""
 
 from __future__ import annotations
 
@@ -29,14 +32,30 @@ FEATURE_SCHEMA = (
 
 def _parse_headers(pdf: pd.DataFrame):
     """Per-row header parse (µs each) → groups keyed by (w, h, amp) of
-    (row_idx, seed) pairs, mirroring checks/integrity.py. Undecodable
-    rows are silently skipped (the feature extractor's contract — the
-    integrity check is where bad payloads get FLAGGED)."""
+    (row_idx, seed) pairs for synthetic PDVS1 payloads, plus a list of
+    (row_idx, fmt, blob) for REAL-format rows (PNG signature / JPEG SOI
+    — same sniff as checks/integrity.py), which decode per-row through
+    the stdlib codecs. Undecodable rows are silently skipped (the
+    feature extractor's contract — the integrity check is where bad
+    payloads get FLAGGED)."""
+    from ..sources import jpeg as _jpeg
+    from ..sources import png as _png
+
     groups: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
+    real: list[tuple[int, str, bytes]] = []
     fmts: list[str | None] = []
     for i, blob in enumerate(pdf["bytes"]):
         fmts.append(None)
         if blob is None:
+            continue
+        head = bytes(blob[:8])
+        if head == _png.PNG_MAGIC:
+            fmts[-1] = "png"
+            real.append((i, "png", bytes(blob)))
+            continue
+        if head[:3] == _jpeg.JPEG_MAGIC:
+            fmts[-1] = "jpeg"
+            real.append((i, "jpeg", bytes(blob)))
             continue
         try:
             p = bytes(blob).split(b"|")
@@ -48,7 +67,23 @@ def _parse_headers(pdf: pd.DataFrame):
             fmts[-1] = None
             continue
         groups.setdefault((w, h, amp), []).append((i, seed))
-    return groups, fmts
+    return groups, fmts, real
+
+
+def _decode_real(fmt: str, blob: bytes) -> np.ndarray | None:
+    """(h, w) uint8 pixels of a real-format payload, or None if the
+    stream is broken / out of profile (skip — integrity flags it)."""
+    from ..sources import jpeg as _jpeg
+    from ..sources import png as _png
+
+    try:
+        if fmt == "png":
+            _, _, px = _png.decode_png_gray(blob)
+        else:
+            _, _, px = _jpeg.decode_jpeg_gray(blob)
+        return px
+    except ValueError:
+        return None
 
 
 def extract_image_features(df: DataFrame) -> DataFrame:
@@ -63,8 +98,27 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["image_id"].to_numpy(dtype=object)
-            groups, fmts = _parse_headers(pdf)
+            groups, fmts, real = _parse_headers(pdf)
             out = []
+            # real-format rows: per-row stdlib decode (inherent to a
+            # real codec), the same vectorized feature math per image
+            for i, fmt, blob in real:
+                px = _decode_real(fmt, blob)
+                if px is None:
+                    continue
+                h, w = px.shape
+                gx = (
+                    float(np.abs(np.diff(px.astype(np.int16), axis=1)).mean())
+                    if w > 1 else 0.0
+                )
+                gy = (
+                    float(np.abs(np.diff(px.astype(np.int16), axis=0)).mean())
+                    if h > 1 else 0.0
+                )
+                out.append(
+                    (ids[i], fmt, w, h, float(px.mean()), float(px.std()),
+                     gx + gy)
+                )
             for (w, h, amp), members in groups.items():
                 idxs = np.array([m[0] for m in members], dtype=np.int64)
                 seeds = np.array([m[1] for m in members], dtype=np.uint64)
@@ -113,10 +167,17 @@ def _decoded_blocks(pdf: pd.DataFrame, slot_prefix: str = "mmblk"):
     numpy block (chunked to the codec's pixel budget) — identical values
     to per-row ``codec.decode``, with per-row Python reduced to the
     header parse. Yields (row_indices, w, h, block); the block ALIASES
-    pooled scratch buffers, valid only until the next yield. With a real
-    codec the decode becomes per-row again but everything downstream
-    stays batched."""
-    groups, _ = _parse_headers(pdf)
+    pooled scratch buffers, valid only until the next yield. REAL-format
+    rows (PNG/JPEG) decode per-row through the stdlib codecs — inherent
+    to a real bitstream — and yield single-row blocks; everything
+    downstream stays batched."""
+    groups, _, real = _parse_headers(pdf)
+    for i, fmt, blob in real:
+        px = _decode_real(fmt, blob)
+        if px is None:
+            continue
+        h, w = px.shape
+        yield np.array([i], dtype=np.int64), w, h, px.reshape(1, h, w)
     for (w, h, amp), members in groups.items():
         idxs = np.array([m[0] for m in members], dtype=np.int64)
         seeds = np.array([m[1] for m in members], dtype=np.uint64)

@@ -92,13 +92,32 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(norm)
 
 
-def rolling_fingerprints(col: Column | str, w: int = 5, keep: int = 8) -> Column:
+def rolling_fingerprints(
+    col: Column | str, w: int = 5, keep: int = 8, hash: str = "xxhash64"
+) -> Column:
     """Winnowing-style document fingerprint: hash every w-token shingle,
     keep the ``keep`` smallest hashes (a deterministic sketch of the
-    document; containment of sketches approximates overlap)."""
+    document; containment of sketches approximates overlap).
+
+    ``hash``: "xxhash64" (default — fastest, JVM-native) or "md5_60"
+    (60-bit int from the first 15 hex chars of md5 — bit-identical
+    across engines, so a DuckDB oracle can reproduce the whole
+    pipeline; same cross-engine trick as operators/dedup.py simhash).
+    Sketch quality is equivalent: both are uniform hashes, min-K of
+    either is an unbiased document sketch."""
     toks = words(col)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    if hash == "md5_60":
+        hashes = F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    elif hash == "xxhash64":
+        hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    else:
+        raise ValueError(f"unknown hash {hash!r}")
     return F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)

@@ -410,19 +410,28 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
 
     bh, bw_n = (h + 7) // 8, (w + 7) // 8
     n_blocks = bh * bw_n
-    zz = np.zeros((n_blocks, 64), dtype=np.int32)
 
     ent, term = _entropy_segment(data, pos)
     if term != 0xD9:
         raise ValueError("scan not terminated by EOI")
     total_bits = len(ent) * 8
+    # Corrupt frame headers must not drive allocation: every block
+    # costs >= 2 bits with any Huffman table, so a frame whose block
+    # count exceeds the scan's bit budget is broken — reject it before
+    # sizing the coefficient matrix (bounds zz at 128 bytes per scan
+    # byte).
+    if n_blocks > max(1, total_bits // 2):
+        raise ValueError("frame dimensions exceed scan data")
+    zz = np.zeros((n_blocks, 64), dtype=np.int32)
     # One vectorized pass builds the sliding 32-bit big-endian window
-    # at every byte offset (4 zero pad bytes keep it in-bounds near the
-    # end); the hot loop then does a single list index per peek instead
-    # of a bytes slice + int.from_bytes. A peek into the zero padding
-    # resolves to the tables' shortest codes (EOB / DC category 0), so
-    # an overrun stays benign until the per-block cursor check below
-    # catches it.
+    # at every byte offset (4 zero pad bytes cover the peek window at
+    # the end of a VALID stream — the per-block cursor check keeps the
+    # cursor in range between blocks); the hot loop then does a single
+    # list index per peek instead of a bytes slice + int.from_bytes.
+    # A corrupt stream can run the cursor past the pad mid-block —
+    # the resulting IndexError is caught at the loop and raised as the
+    # same truncation ValueError the integrity check maps to a
+    # violation row.
     bb = np.frombuffer(ent + b"\x00\x00\x00\x00", dtype=np.uint8)
     bb = bb.astype(np.uint32)
     w32 = (
@@ -430,48 +439,52 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
     ).tolist()
     bitpos = 0
     pred = 0
-    for b in range(n_blocks):
-        chunk = w32[bitpos >> 3]
-        hit = dc[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
-        if not hit:
-            raise ValueError("invalid DC Huffman code")
-        s = hit >> 8
-        bitpos += hit & 0xFF
-        if s > 11:
-            raise ValueError("bad DC category")
-        if s:
+    try:
+        for b in range(n_blocks):
             chunk = w32[bitpos >> 3]
-            v = (chunk >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
-            bitpos += s
-            pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-        row = zz[b]
-        row[0] = pred
-        k = 1
-        while k < 64:
-            chunk = w32[bitpos >> 3]
-            hit = ac[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
+            hit = dc[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
             if not hit:
-                raise ValueError("invalid AC Huffman code")
-            sym = hit >> 8
+                raise ValueError("invalid DC Huffman code")
+            s = hit >> 8
             bitpos += hit & 0xFF
-            s = sym & 0x0F
-            if s == 0:
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                raise ValueError(f"bad AC symbol 0x{sym:02X}")
-            k += sym >> 4
-            if k > 63:
-                raise ValueError("AC coefficient index out of range")
-            chunk = w32[bitpos >> 3]
-            v = (chunk >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
-            bitpos += s
-            row[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-            k += 1
-        if bitpos > total_bits:
-            raise ValueError("truncated scan")
+            if s > 11:
+                raise ValueError("bad DC category")
+            if s:
+                chunk = w32[bitpos >> 3]
+                v = (chunk >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
+                bitpos += s
+                pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            row = zz[b]
+            row[0] = pred
+            k = 1
+            while k < 64:
+                chunk = w32[bitpos >> 3]
+                hit = ac[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
+                if not hit:
+                    raise ValueError("invalid AC Huffman code")
+                sym = hit >> 8
+                bitpos += hit & 0xFF
+                s = sym & 0x0F
+                if s == 0:
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    raise ValueError(f"bad AC symbol 0x{sym:02X}")
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("AC coefficient index out of range")
+                chunk = w32[bitpos >> 3]
+                v = (chunk >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
+                bitpos += s
+                row[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                k += 1
+            if bitpos > total_bits:
+                raise ValueError("truncated scan")
+    except IndexError:
+        # corrupt stream ran the cursor past the padded window
+        raise ValueError("truncated scan") from None
 
     nat = np.zeros_like(zz)
     nat[:, _ZIGZAG] = zz

@@ -275,6 +275,54 @@ def test_multimodal_plumbing(spark):
     assert len(frames) == 10 * 4  # 16 bands sampled every 4
 
 
+def test_multimodal_real_format_rows(spark):
+    """Real PNG and baseline-JPEG payloads flow through the feature /
+    resize / frame-sample operators via the stdlib decodes; values
+    check against the independently decoded pixels. A broken stream is
+    skipped (the integrity check is where it gets flagged)."""
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        extract_image_features,
+        resize_images,
+        sample_frames,
+    )
+    from perl_data_validate_sanctions_spark.sources import codec, jpeg, png
+
+    w, h = 24, 16
+    png_px = codec.render(1234, w, h)
+    jpg_px = codec.render(5678, w, h)
+    jpg_blob = jpeg.encode_jpeg_gray(jpg_px, quality=95)
+    _, _, jpg_dec = jpeg.decode_jpeg_gray(jpg_blob)  # lossy: expect these
+    bad = bytearray(png.encode_png_gray(png_px))
+    bad[len(bad) // 2] ^= 0xFF
+    rows = [
+        ("real-png", bytearray(png.encode_png_gray(png_px)), w, h,
+         "png", None, 0),
+        ("real-jpg", bytearray(jpg_blob), w, h, "jpeg", None, 0),
+        ("real-bad", bad, w, h, "png", None, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    feats = {r["image_id"]: r for r in extract_image_features(df).collect()}
+    assert set(feats) == {"real-png", "real-jpg"}  # bad row skipped
+    assert feats["real-png"]["fmt"] == "png"
+    assert abs(feats["real-png"]["mean_luma"] - float(png_px.mean())) < 1e-9
+    assert abs(feats["real-jpg"]["mean_luma"] - float(jpg_dec.mean())) < 1e-9
+    thumbs = {r["image_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert set(thumbs) == {"real-png", "real-jpg"}
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(8) * w // 8).clip(0, w - 1)
+    expect = png_px[ys[:, None], xs[None, :]].tobytes()
+    assert bytes(thumbs["real-png"]["thumb"]) == expect
+    frames = sample_frames(df, every_n=4, n_frames=16).collect()
+    ids = {r["image_id"] for r in frames}
+    assert ids == {"real-png", "real-jpg"}
+
+
 def test_ivf_ann(spark, emb):
     from perl_data_validate_sanctions_spark.operators.similarity import (
         ivf_ann_topk,
