@@ -337,8 +337,10 @@ def _country_oracle() -> str:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + md5 fingerprint per document."""
+    """Token counting (whitespace + chars/4 + GPT-2-style BPE pretoken
+    regex) + md5 fingerprint per document."""
     from perl_data_validate_sanctions_spark.operators.text import (
+        bpe_token_estimate,
         fingerprint_md5,
         subword_estimate,
         token_count,
@@ -349,16 +351,20 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count("text").alias("n_tokens"),
         subword_estimate("text").alias("n_subwords"),
+        bpe_token_estimate("text").alias("n_bpe"),
         fingerprint_md5("text").alias("fingerprint"),
     )
 
 
-_TOKEN_ORACLE = """
+_TOKEN_ORACLE = r"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                        t -> t <> '')) AS n_tokens,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+       )) AS n_bpe,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """
 

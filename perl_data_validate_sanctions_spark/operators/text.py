@@ -36,6 +36,26 @@ def subword_estimate(col: Column | str) -> Column:
     return F.ceil(F.length(c) / F.lit(4.0)).cast("long")
 
 
+# GPT-2-style pretokenizer pattern, restricted to the lookahead-free
+# subset (RE2-compatible, so Java regex AND DuckDB/RE2 agree match for
+# match): contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs, then any whitespace run. Pretoken count is
+# the standard BPE-budget estimate — every BPE merge happens INSIDE a
+# pretoken, so this upper-bounds and tracks the true token count.
+BPE_PRETOKEN_REGEX = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-ish token estimate: GPT-2 pretokenizer match count (public
+    pattern, minus its trailing-whitespace lookahead — RE2 has no
+    lookahead, which keeps a DuckDB oracle bit-identical). Native
+    ``regexp_count`` — JVM-side, codegen, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PRETOKEN_REGEX)).cast("long")
+
+
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     toks = words(col)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

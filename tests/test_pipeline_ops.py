@@ -25,6 +25,7 @@ from perl_data_validate_sanctions_spark.operators.similarity import (
     lsh_ann_topk,
 )
 from perl_data_validate_sanctions_spark.operators.text import (
+    bpe_token_estimate,
     fingerprint_md5,
     lang_id,
     quality_score,
@@ -184,6 +185,24 @@ def test_text_analysis(spark, docs):
     # winnowing sketches of near-dups share most hashes
     shared = set(rows[0]["rfp"]) & set(rows[3]["rfp"])
     assert len(shared) >= 4
+
+
+def test_bpe_token_estimate(spark):
+    """Hand-counted GPT-2 pretokens: "It's 42 dogs, isn't it?" →
+    [It]['s][ 42][ dogs][,][ isn]['t][ it][?] = 9 matches (the space
+    before each word folds into its pretoken; punctuation and digit
+    runs stand alone)."""
+    df = spark.createDataFrame(
+        [("a", "It's 42 dogs, isn't it?"), ("b", ""), ("c", "   ")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_token_estimate("text").alias("n")
+        ).collect()
+    }
+    assert got == {"a": 9, "b": 0, "c": 1}
 
 
 @pytest.fixture(scope="module")
