@@ -1132,6 +1132,80 @@ def _sample_frames_oracle() -> str:
     )
 
 
+# pinned audio parameter set (id, seed, n_samples, rate): deterministic
+# int16 clips from integer arithmetic only (no float generation, so the
+# Spark path and the oracle build identical inputs bit-for-bit)
+AUDIO_FEATURE_PARAMS = [
+    (f"aud-feat-{i:03d}", 500 + 13 * i, (480, 1600, 333)[i % 3],
+     (16_000, 8_000, 44_100)[i % 3])
+    for i in range(9)
+]
+
+
+def _audio_clip(seed: int, n: int):
+    import numpy as np
+
+    return (
+        ((np.arange(n, dtype=np.int64) * 2654435761 + seed) % 65536)
+        - 32768
+    ).astype(np.int16)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over REAL RIFF/WAVE PCM16 payloads
+    (operators/multimodal.py:extract_audio_features; codec
+    sources/wav.py — stdlib decode, zero-copy frombuffer). The oracle
+    is golden VALUES from an independent plain-numpy recomputation on
+    the same deterministic integer-built clips (the q:image_features
+    pattern), so the whole encode→Spark→decode→feature path is checked
+    value-for-value."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    from perl_data_validate_sanctions_spark.sources import wav
+
+    rows = [
+        (aid, bytearray(wav.encode_wav_pcm16(_audio_clip(seed, n), rate)))
+        for aid, seed, n, rate in AUDIO_FEATURE_PARAMS
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    out = extract_audio_features(df)
+    return out.select(
+        "audio_id", "rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "peak",
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+    )
+
+
+def _audio_features_oracle() -> str:
+    import numpy as np
+
+    vals = []
+    for aid, seed, n, rate in AUDIO_FEATURE_PARAMS:
+        s = _audio_clip(seed, n)
+        x = s.astype(np.float64)
+        signs = np.signbit(s)
+        zcr = (
+            int(np.count_nonzero(signs[1:] != signs[:-1])) / (n - 1)
+            if n > 1 else 0.0
+        )
+        vals.append(
+            f"('{aid}', {rate}, {n}, {n / rate!r}, "
+            f"{float(np.sqrt(np.mean(x * x)))!r}, "
+            f"{int(np.max(np.abs(x)))}, {zcr!r})"
+        )
+    return (
+        "SELECT audio_id, rate, n_samples, "
+        "round(duration_s, 6) AS duration_s, round(rms, 4) AS rms, peak, "
+        "round(zero_cross_rate, 6) AS zero_cross_rate FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(audio_id, rate, n_samples, duration_s, rms, peak, "
+        "zero_cross_rate)"
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation pipeline: quality gate →
     exact dedup (normalized-md5, min-id survivor) → near-dup removal
@@ -1248,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "resize_images": q_resize_images,
         "sample_frames": q_sample_frames,
+        "audio_features": q_audio_features,
         "curate_corpus": q_curate_corpus,
     }
 
@@ -1296,4 +1371,5 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _image_features_oracle(),
         "resize_images": _resize_images_oracle(),
         "sample_frames": _sample_frames_oracle(),
+        "audio_features": _audio_features_oracle(),
     }

@@ -259,3 +259,53 @@ def sample_frames(df: DataFrame, every_n: int = 4, n_frames: int = 16) -> DataFr
             )
 
     return df.select("image_id", "bytes").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "audio_id string, rate int, n_samples long, duration_s double, "
+    "rms double, peak int, zero_cross_rate double"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip audio features from REAL RIFF/WAVE PCM16 payloads
+    (sources/wav.py — stdlib decode, zero-copy frombuffer): RMS level,
+    peak amplitude, zero-crossing rate, duration. One Arrow hop; emits
+    only the feature row, never the samples. Undecodable or
+    out-of-profile payloads skip (the extractor's contract, same as the
+    image path — a validation check is where bad payloads get FLAGGED).
+
+    Expects columns (audio_id, bytes). The decode is a header walk plus
+    one frombuffer, and the feature math is vectorized numpy — nothing
+    per-sample in Python, so at 100 TB the cost is the scan itself."""
+    from ..sources import wav as _wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, blob in zip(pdf["audio_id"], pdf["bytes"]):
+                if blob is None:
+                    continue
+                try:
+                    rate, s = _wav.decode_wav_pcm16(bytes(blob))
+                except ValueError:
+                    continue
+                x = s.astype(np.float64)
+                n = int(s.size)
+                signs = np.signbit(s)
+                zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
+                out.append((
+                    aid, rate, n, n / rate,
+                    float(np.sqrt(np.mean(x * x))) if n else 0.0,
+                    int(np.max(np.abs(x))) if n else 0,
+                    zc / (n - 1) if n > 1 else 0.0,
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=["audio_id", "rate", "n_samples", "duration_s",
+                         "rms", "peak", "zero_cross_rate"],
+            )
+
+    return df.select("audio_id", "bytes").mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
+    )
