@@ -1132,6 +1132,63 @@ def _sample_frames_oracle() -> str:
     )
 
 
+# pinned video parameter set (id, seed, n_frames, fps): frames are the
+# deterministic codec renders, MJPEG-encoded at q95 into an AVI clip
+VIDEO_SAMPLE_PARAMS = [
+    (f"vid-feat-{i:03d}", 9000 + 31 * i, (6, 10, 3)[i % 3],
+     (10, 24, 5)[i % 3])
+    for i in range(6)
+]
+
+
+def _video_clip(seed: int, n_frames: int, fps: int) -> bytes:
+    from perl_data_validate_sanctions_spark.sources import avi, codec
+
+    frames = [codec.render(seed + i, 32, 24) for i in range(n_frames)]
+    return avi.encode_avi_mjpeg(frames, fps=fps, quality=95)
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-video frame sampling (operators/multimodal.py:sample_frames
+    over AVI/MJPEG clips — sources/avi.py RIFF walk + per-frame T.81
+    decode). The oracle is golden VALUES from an independent driver-side
+    decode of the same clips (container walk + jpeg decode + numpy mean
+    per frame, no Spark plumbing), so the mapInPandas fan-out path is
+    checked value-for-value."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    rows = [
+        (vid, bytearray(_video_clip(seed, n, fps)))
+        for vid, seed, n, fps in VIDEO_SAMPLE_PARAMS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = sample_frames(df, every_n=2, n_frames=8)
+    return out.select(
+        F.col("image_id").alias("video_id"),
+        "frame_idx",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+def _video_frame_sample_oracle() -> str:
+    from perl_data_validate_sanctions_spark.sources import avi
+
+    vals = []
+    for vid, seed, n, fps in VIDEO_SAMPLE_PARAMS:
+        _, frames = avi.decode_avi_mjpeg(_video_clip(seed, n, fps))
+        for fi in range(0, min(8, len(frames)), 2):
+            vals.append(
+                f"('{vid}', {fi}, {float(frames[fi].mean())!r})"
+            )
+    return (
+        "SELECT video_id, frame_idx, round(frame_mean, 4) AS frame_mean "
+        "FROM (VALUES " + ", ".join(vals)
+        + ") AS t(video_id, frame_idx, frame_mean)"
+    )
+
+
 # pinned audio parameter set (id, seed, n_samples, rate): deterministic
 # int16 clips from integer arithmetic only (no float generation, so the
 # Spark path and the oracle build identical inputs bit-for-bit)
@@ -1323,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": q_resize_images,
         "sample_frames": q_sample_frames,
         "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
         "curate_corpus": q_curate_corpus,
     }
 
@@ -1372,4 +1430,5 @@ def oracle_sql() -> dict[str, str]:
         "resize_images": _resize_images_oracle(),
         "sample_frames": _sample_frames_oracle(),
         "audio_features": _audio_features_oracle(),
+        "video_frame_sample": _video_frame_sample_oracle(),
     }

@@ -234,18 +234,35 @@ FRAME_SAMPLE_SCHEMA = "image_id string, frame_idx int, frame_mean double"
 
 
 def sample_frames(df: DataFrame, every_n: int = 4, n_frames: int = 16) -> DataFrame:
-    """Frame-sampling plumbing for video-like payloads: treats the image
-    as a stack of ``n_frames`` horizontal bands (a stand-in for decoded
-    video frames — no video codec in the container) and emits every
-    ``every_n``-th band's summary. Output fans out rows (one per
-    sampled frame), exercising the 1→N mapInPandas contract. Decode is
-    batched per (w, h, amp) group; each sampled band's means compute
-    for the WHOLE group in one reduction."""
+    """Frame sampling for video-like payloads. REAL AVI/MJPEG clips
+    (sources/avi.py — RIFF walk + per-frame T.81 decode) emit every
+    ``every_n``-th of their first ``n_frames`` ACTUAL frames' summary.
+    Image payloads keep the band stand-in: the image as a stack of
+    ``n_frames`` horizontal bands, every ``every_n``-th band's summary.
+    Output fans out rows (one per sampled frame), exercising the 1→N
+    mapInPandas contract. Image decode is batched per (w, h, amp)
+    group; each sampled band's means compute for the WHOLE group in
+    one reduction. Undecodable clips skip (a validation check is where
+    they get flagged)."""
+    from ..sources import avi as _avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["image_id"].to_numpy(dtype=object)
             out = []
+            # real video clips: per-frame JPEG decode inside the worker
+            for i, blob in enumerate(pdf["bytes"]):
+                if blob is None:
+                    continue
+                head = bytes(blob[:12])
+                if head[:4] != _avi.AVI_MAGIC or head[8:12] != b"AVI ":
+                    continue
+                try:
+                    _, frames = _avi.decode_avi_mjpeg(bytes(blob))
+                except ValueError:
+                    continue
+                for fi in range(0, min(n_frames, len(frames)), every_n):
+                    out.append((ids[i], fi, float(frames[fi].mean())))
             for idxs, w, h, block in _decoded_blocks(pdf, "mm_fs"):
                 # same band boundaries as np.array_split(px, k, axis=0)
                 # on a single (h, w) image, applied group-wide on axis=1
