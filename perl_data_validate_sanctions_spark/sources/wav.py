@@ -102,6 +102,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
                 raise ValueError(
                     f"unsupported WAV profile ({bits}-bit, need 16)"
                 )
+            if not rate_:
+                raise ValueError("zero sample rate")
             rate = int(rate_)
         elif cid == b"data":
             if rate is None:
