@@ -1132,6 +1132,80 @@ def _sample_frames_oracle() -> str:
     )
 
 
+# pinned real-codec parameter set (id, fmt, w, h, seed): payloads are
+# REAL stdlib-encoded PNG (lossless) and q95 baseline JPEG (lossy)
+# streams of the deterministic renders
+REAL_FEATURE_PARAMS = [
+    (f"real-feat-{i:03d}", ("png", "jpeg")[i % 2],
+     (16, 32, 17)[i % 3], (8, 16, 9)[i % 3], 7000 + 11 * i)
+    for i in range(12)
+]
+
+
+def _real_payload(fmt: str, w: int, h: int, seed: int) -> bytes:
+    from perl_data_validate_sanctions_spark.sources import codec, jpeg, png
+
+    img = codec.render(seed, w, h)
+    if fmt == "png":
+        return png.encode_png_gray(img)
+    return jpeg.encode_jpeg_gray(img, quality=95)
+
+
+def q_real_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features over REAL PNG/JPEG payloads — the stdlib codecs
+    (sources/png.py, sources/jpeg.py) exercised END-TO-END through the
+    Spark mapInPandas path. The oracle is golden VALUES computed
+    independently in the driver: PNG expectations come from the
+    ORIGINAL pixels (lossless round-trip proven through the whole
+    engine path, fully codec-independent), JPEG expectations from a
+    driver-side decode of the same stream (lossy — the exact decoded
+    pixels are the spec)."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    rows = [
+        (rid, bytearray(_real_payload(fmt, w, h, seed)))
+        for rid, fmt, w, h, seed in REAL_FEATURE_PARAMS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = extract_image_features(df)
+    return out.select(
+        "image_id", "fmt", "w", "h",
+        F.round("mean_luma", 4).alias("mean_luma"),
+        F.round("std_luma", 4).alias("std_luma"),
+        F.round("edge_energy", 4).alias("edge_energy"),
+    )
+
+
+def _real_decode_features_oracle() -> str:
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.sources import codec, jpeg
+
+    vals = []
+    for rid, fmt, w, h, seed in REAL_FEATURE_PARAMS:
+        if fmt == "png":
+            px = codec.render(seed, w, h)  # lossless: original pixels
+        else:
+            _, _, px = jpeg.decode_jpeg_gray(_real_payload(fmt, w, h, seed))
+        p16 = px.astype(np.int16)
+        gx = float(np.abs(np.diff(p16, axis=1)).mean()) if w > 1 else 0.0
+        gy = float(np.abs(np.diff(p16, axis=0)).mean()) if h > 1 else 0.0
+        vals.append(
+            f"('{rid}', '{fmt}', {w}, {h}, {float(px.mean())!r}, "
+            f"{float(px.std())!r}, {gx + gy!r})"
+        )
+    return (
+        "SELECT image_id, fmt, w, h, "
+        "round(mean_luma, 4) AS mean_luma, "
+        "round(std_luma, 4) AS std_luma, "
+        "round(edge_energy, 4) AS edge_energy FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, fmt, w, h, mean_luma, std_luma, edge_energy)"
+    )
+
+
 # pinned video parameter set (id, seed, n_frames, fps): frames are the
 # deterministic codec renders, MJPEG-encoded at q95 into an AVI clip
 VIDEO_SAMPLE_PARAMS = [
@@ -1381,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_frames": q_sample_frames,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
+        "real_decode_features": q_real_decode_features,
         "curate_corpus": q_curate_corpus,
     }
 
@@ -1431,4 +1506,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_frames": _sample_frames_oracle(),
         "audio_features": _audio_features_oracle(),
         "video_frame_sample": _video_frame_sample_oracle(),
+        "real_decode_features": _real_decode_features_oracle(),
     }
