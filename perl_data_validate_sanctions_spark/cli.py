@@ -58,10 +58,13 @@ def main(argv: list[str] | None = None) -> int:
              "bin/update_sanctions_csv writes a file, not stdout)",
     )
     p_val.add_argument(
-        "--match-strategy", choices=("native", "arrow"), default="arrow",
-        help="caption-match path (arrow: zero-shuffle pandas-UDF screen, "
-             "the measured-fastest default; native: pure-JVM Catalyst "
-             "path for Python-worker-scarce clusters)",
+        "--match-strategy", choices=("auto", "native", "arrow"),
+        default="auto",
+        help="caption-match path (auto: the SCALING.md crossover rule — "
+             "arrow while the dimension fits the worker-local index "
+             "budget, native beyond it; arrow: zero-shuffle pandas-UDF "
+             "screen, measured fastest at every in-budget size; native: "
+             "pure-JVM Catalyst path for Python-worker-scarce clusters)",
     )
 
     args = p.parse_args(argv)

@@ -48,6 +48,39 @@ DEFAULT_CHECKS = (
 # caption-side foreign key checked against the places dimension
 CAPTION_KEY_RE = r" in (\p{L}+)$"
 
+# "auto" match-strategy budget: max sanction-dimension ENTRY rows for
+# which the worker-local Arrow index (sparkContext.broadcast dict,
+# matcher_arrow._MatcherIndex) is used. Sized from memory, not speed:
+# ~500k entries × ~3 aliases × ~100 B ≈ 150 MB per Python worker —
+# the outer edge of a sane per-worker broadcast. The reference ships
+# 15,664 entries (share/sanctions.yml), 30× inside the budget; its own
+# design makes the same bet (the whole dataset is an in-process hash,
+# Sanctions.pm:253-315 — there is no out-of-core path to mirror).
+AUTO_ARROW_DIM_MAX_ENTRIES = 500_000
+
+
+def resolve_match_strategy(
+    n_dim_entries: int, n_rows: int | None = None
+) -> str:
+    """The SCALING.md crossover rule (round-5 measured), as code.
+
+    Arrow won EVERY measured cell of the (rows × dimension) grid —
+    600 k and 2.4 M rows, 212-alias and 15,664-entry dimensions,
+    standalone and inside the concurrent suite — and the native path's
+    candidate-aggregation state grows superlinearly with row count at
+    full dimension (65-94 s vs Arrow's 9-12.5 s at 2.4 M), so MORE
+    rows reinforce, never flip, the choice. The one axis that flips
+    it is dimension size: beyond the worker-local index memory budget
+    the Arrow screen's broadcast dict no longer fits, and the native
+    path — whose token index is a relational join Catalyst can
+    degrade from broadcast to shuffle — is the only shape that
+    survives. ``n_rows`` is accepted (and recorded by callers) so the
+    rule's signature matches the grid it was measured on."""
+    del n_rows  # measured: row count never flips the choice
+    if n_dim_entries > AUTO_ARROW_DIM_MAX_ENTRIES:
+        return "native"
+    return "arrow"
+
 
 def caption_key_expr() -> Column:
     k = F.regexp_extract(F.col("caption"), CAPTION_KEY_RE, 1)
@@ -69,7 +102,7 @@ def run_validation(
     ref_keys: DataFrame | None = None,
     checks: tuple[str, ...] = DEFAULT_CHECKS,
     partition_expr: Column | None = None,
-    match_strategy: str = "arrow",
+    match_strategy: str = "auto",
     expected_caption_expr: Column | None = None,
     with_stats: bool = True,
     pixel_sample: int | None = None,
@@ -87,15 +120,17 @@ def run_validation(
     land in a table, not the driver. Default (None) keeps the
     collect-friendly localCheckpoint-backed report.
 
-    ``match_strategy`` (round-5 measured crossover, SCALING.md): the
-    Arrow screen is the default — it won every measured cell (600 k and
-    2.4 M rows × 212-alias and 15,664-entry dimensions, standalone AND
-    inside the concurrent suite next to integrity's Python workers),
-    and the native path's candidate-pair aggregation state grows
-    superlinearly with rows at full dimension. Pick ``"native"`` when
-    Python worker slots are the scarce resource or when the verdicts
-    feed further JVM-side relational logic without an Arrow hop; the
-    two paths are output-identical by pinned contract.
+    ``match_strategy``: ``"auto"`` (default) applies the measured
+    SCALING.md crossover rule via :func:`resolve_match_strategy` —
+    the Arrow screen whenever the dimension fits the worker-local
+    index budget (it won every measured (rows × dim) cell), the
+    native relational path beyond it (the only shape whose token-index
+    join Catalyst can degrade from broadcast to shuffle when the
+    dimension outgrows broadcast). Explicit ``"arrow"`` / ``"native"``
+    override the rule — e.g. native when Python worker slots are the
+    scarce resource or when the verdicts feed further JVM-side
+    relational logic without an Arrow hop; the two paths are
+    output-identical by pinned contract.
 
     ``concurrent`` (default): each check materializes as its OWN Spark
     job from a driver thread pool (eager localCheckpoint), then the
@@ -194,8 +229,14 @@ def run_validation(
                 ),
             )
         if "sanctioned" in checks and entries is not None:
+            strategy = match_strategy
+            if strategy == "auto":
+                # one count() job on the (small) dimension table; the
+                # rule itself is resolve_match_strategy — kept pure and
+                # pytest-pinned at both dimension scales
+                strategy = resolve_match_strategy(entries.count())
             matcher = (
-                match_captions_arrow if match_strategy == "arrow" else match_captions
+                match_captions_arrow if strategy == "arrow" else match_captions
             )
             matches = matcher(images, entries)
             # a sanctioned caption is a violation row (the reference's

@@ -174,3 +174,59 @@ def test_validation_report_parquet_sink(spark, images, ref_dims, tmp_path):
     )
     assert sunk.violations.schema == VIOLATION_SCHEMA
     assert sunk.violations.count() == base.violations.count()
+
+
+def test_resolve_match_strategy_rule():
+    """The SCALING.md crossover, pinned at both measured dimension
+    scales (VERDICT r5 #2): Arrow while the dimension fits the
+    worker-local index budget, native beyond it, and row count never
+    flips an in-budget choice."""
+    from perl_data_validate_sanctions_spark.plans import runner
+
+    assert runner.resolve_match_strategy(212) == "arrow"        # bench dim
+    assert runner.resolve_match_strategy(15_664) == "arrow"     # bundled dim
+    assert runner.resolve_match_strategy(15_664, n_rows=10**12) == "arrow"
+    over = runner.AUTO_ARROW_DIM_MAX_ENTRIES + 1
+    assert runner.resolve_match_strategy(over) == "native"
+    assert runner.resolve_match_strategy(over, n_rows=1) == "native"
+
+
+def test_auto_strategy_dispatch(spark, images, ref_dims, monkeypatch):
+    """run_validation(match_strategy='auto') routes through the
+    crossover rule: the Arrow screen at bundled-dimension scale, the
+    native relational path once the dimension outgrows the budget
+    (native stubbed — the DISPATCH is what's under test here; path
+    output-agreement is pinned by test_matcher)."""
+    from perl_data_validate_sanctions_spark.plans import runner
+
+    entries, _ = ref_dims
+    calls: list[str] = []
+    real_arrow = runner.match_captions_arrow
+
+    def spy_arrow(imgs, ents, *a, **k):
+        calls.append("arrow")
+        return real_arrow(imgs, ents, *a, **k)
+
+    def spy_native(imgs, ents, *a, **k):
+        calls.append("native")
+        return spark.createDataFrame(
+            [], "image_id string, list string, matched_name string"
+        )
+
+    monkeypatch.setattr(runner, "match_captions_arrow", spy_arrow)
+    monkeypatch.setattr(runner, "match_captions", spy_native)
+
+    small = images.limit(500)
+    runner.run_validation(small, entries=entries, checks=("sanctioned",),
+                          with_stats=False)
+    assert calls == ["arrow"]
+
+    big_dim = spark.range(runner.AUTO_ARROW_DIM_MAX_ENTRIES + 1)
+    runner.run_validation(small, entries=big_dim, checks=("sanctioned",),
+                          with_stats=False)
+    assert calls == ["arrow", "native"]
+
+    # explicit override still wins over the rule
+    runner.run_validation(small, entries=entries, checks=("sanctioned",),
+                          with_stats=False, match_strategy="native")
+    assert calls == ["arrow", "native", "native"]
