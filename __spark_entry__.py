@@ -1413,6 +1413,201 @@ FROM uniq u WHERE u.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+_SINK_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXY"  # one per nationkey 0..24
+
+
+def _sink_images(spark: SparkSession, sf_dir: str):
+    """Images-shaped table derived deterministically from orders ×
+    customer × nation, with planted violations for every SQL-expressible
+    check: duplicate image_ids (orderkey mod 14000), duplicate/null
+    phash, w=0 / h=0 rows, a 'bmp' fmt stripe, null bytes, and captions
+    whose trailing key points at nations ≥ 20 — absent from the ref_keys
+    dimension (nations < 20). Every derivation is mirrored 1:1 in the
+    DuckDB oracle CTE."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    letter = F.substring(
+        F.lit(_SINK_LETTERS), F.col("n_nationkey").cast("int") + 1, 1
+    )
+    ref_key = F.concat(F.lit("NATION"), letter)
+    images = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .select(
+            F.concat(
+                F.lit("img-"),
+                F.lpad((F.col("o_orderkey") % 14000).cast("string"), 12, "0"),
+            ).alias("image_id"),
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+            .otherwise(F.encode(F.col("o_orderpriority"), "UTF-8"))
+            .alias("bytes"),
+            (F.col("o_orderkey") % 100).cast("int").alias("w"),
+            ((F.col("o_orderkey") + 37) % 100).cast("int").alias("h"),
+            F.element_at(
+                F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp"),
+                        F.lit("bmp")),
+                (F.col("o_orderkey") % 4).cast("int") + 1,
+            ).alias("fmt"),
+            F.concat(F.lit("photo in "), ref_key).alias("caption"),
+            F.when(F.col("o_orderkey") % 89 == 0, F.lit(None))
+            .otherwise((F.col("o_orderkey") % 6000).cast("long"))
+            .alias("phash"),
+        )
+    )
+    ref_keys = n.filter(F.col("n_nationkey") < 20).select(
+        F.concat(F.lit("NATION"), letter).alias("key")
+    )
+    return images, ref_keys
+
+
+def q_validate_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink path, oracle-gated end-to-end (VERDICT r5
+    #3): run the validation suite with ``sink_dir`` set, then read the
+    WRITTEN violations.parquet back and roll it up per (check,
+    partition_id) — asserting along the way that the written
+    check_summary and partition_verdicts parquet agree with the written
+    violations table. Reference analog: xt/20_update.t:53-65 asserts
+    the FILE update_sanctions_csv wrote, not its stdout."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from perl_data_validate_sanctions_spark.plans.runner import (
+        run_validation,
+    )
+    from perl_data_validate_sanctions_spark.schema import VIOLATION_SCHEMA
+
+    images, ref_keys = _sink_images(spark, sf_dir)
+    # mirrorable partition rule (the default logical_partition hashes
+    # with Spark's xxhash64, which DuckDB cannot reproduce)
+    pexpr = F.pmod(
+        F.substring("image_id", 5, 12).cast("long"), F.lit(32)
+    ).cast("int")
+
+    sink = _tempfile.mkdtemp(prefix="pdvs_q_sink_")
+    try:
+        run_validation(
+            images,
+            ref_keys=ref_keys,
+            checks=("schema", "unique_image_id", "unique_phash",
+                    "referential"),
+            partition_expr=pexpr,
+            with_stats=False,
+            sink_dir=sink,
+        )
+        viol = spark.read.schema(VIOLATION_SCHEMA).parquet(
+            _os.path.join(sink, "violations.parquet")
+        )
+        rollup = (
+            viol.groupBy("check", "partition_id")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .collect()
+        )
+        # written summary == written violations
+        summary = {
+            r["check"]: r["n_violations"]
+            for r in spark.read.parquet(
+                _os.path.join(sink, "check_summary.parquet")
+            ).collect()
+        }
+        by_check: dict[str, int] = {}
+        by_part: dict[int, int] = {}
+        for r in rollup:
+            by_check[r["check"]] = by_check.get(r["check"], 0) + r["n_violations"]
+            by_part[r["partition_id"]] = (
+                by_part.get(r["partition_id"], 0) + r["n_violations"]
+            )
+        assert summary == by_check, (summary, by_check)
+        # written verdicts == written violations + full row coverage
+        verdicts = spark.read.parquet(
+            _os.path.join(sink, "partition_verdicts.parquet")
+        ).collect()
+        assert {
+            r["partition_id"]: r["n_violations"] for r in verdicts
+            if r["n_violations"]
+        } == by_part
+        assert all(
+            (not r["passed"]) == (r["n_violations"] > 0) for r in verdicts
+        )
+        assert sum(r["n_rows"] for r in verdicts) == images.count()
+    finally:
+        _shutil.rmtree(sink, ignore_errors=True)
+    out = spark.createDataFrame(
+        [(r["check"], r["partition_id"], r["n_violations"]) for r in rollup],
+        "check string, partition_id int, n_violations long",
+    )
+    return out.orderBy("check", "partition_id")
+
+
+_VALIDATE_SINK_ORACLE = """
+WITH img AS (
+  SELECT
+    CAST(o.o_orderkey % 14000 AS BIGINT) % 32 AS partition_id,
+    'img-' || lpad(CAST(o.o_orderkey % 14000 AS VARCHAR), 12, '0')
+      AS image_id,
+    (o.o_orderkey % 97 = 0) AS bytes_null,
+    CAST(o.o_orderkey % 100 AS INT) AS w,
+    CAST((o.o_orderkey + 37) % 100 AS INT) AS h,
+    CASE CAST(o.o_orderkey % 4 AS INT)
+      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'webp'
+      ELSE 'bmp' END AS fmt,
+    CASE WHEN n.n_nationkey IS NULL THEN NULL
+      ELSE 'NATION' || substr('ABCDEFGHIJKLMNOPQRSTUVWXY',
+                              CAST(n.n_nationkey AS INT) + 1, 1)
+      END AS ref_key,
+    CASE WHEN o.o_orderkey % 89 = 0 THEN NULL
+      ELSE CAST(o.o_orderkey % 6000 AS BIGINT) END AS phash
+  FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+schema_v AS (
+  SELECT 'schema' AS "check", CAST(partition_id AS INT) AS partition_id,
+    CAST(SUM(
+        CASE WHEN w IS NULL OR w <= 0 OR w >= 65536 THEN 1 ELSE 0 END
+      + CASE WHEN h IS NULL OR h <= 0 OR h >= 65536 THEN 1 ELSE 0 END
+      + CASE WHEN fmt IS NULL OR fmt NOT IN ('png','jpeg','webp')
+             THEN 1 ELSE 0 END
+      + CASE WHEN phash IS NULL THEN 1 ELSE 0 END
+      + CASE WHEN bytes_null THEN 1 ELSE 0 END
+    ) AS BIGINT) AS n_violations
+  FROM img GROUP BY partition_id
+),
+uid AS (
+  SELECT 'unique_image_id' AS "check", CAST(partition_id AS INT)
+      AS partition_id, count(*) AS n_violations
+  FROM (SELECT partition_id,
+               count(*) OVER (PARTITION BY image_id) AS c FROM img) t
+  WHERE c > 1 GROUP BY partition_id
+),
+uph AS (
+  SELECT 'unique_phash' AS "check", CAST(partition_id AS INT)
+      AS partition_id, count(*) AS n_violations
+  FROM (SELECT partition_id, phash,
+               count(*) OVER (PARTITION BY phash) AS c FROM img
+        WHERE phash IS NOT NULL) t
+  WHERE c > 1 GROUP BY partition_id
+),
+refv AS (
+  SELECT 'referential' AS "check", CAST(partition_id AS INT)
+      AS partition_id, count(*) AS n_violations
+  FROM img
+  WHERE ref_key IS NOT NULL AND ref_key NOT IN (
+    SELECT 'NATION' || substr('ABCDEFGHIJKLMNOPQRSTUVWXY',
+                              CAST(n_nationkey AS INT) + 1, 1)
+    FROM nation WHERE n_nationkey < 20)
+  GROUP BY partition_id
+)
+SELECT * FROM (
+  SELECT * FROM schema_v WHERE n_violations > 0
+  UNION ALL SELECT * FROM uid
+  UNION ALL SELECT * FROM uph
+  UNION ALL SELECT * FROM refv
+) ORDER BY "check", partition_id
+"""
+
+
 # ------------------------------------------------------------- contract ---
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1457,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "real_decode_features": q_real_decode_features,
         "curate_corpus": q_curate_corpus,
+        "validate_sink": q_validate_sink,
     }
 
 
@@ -1507,4 +1703,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _audio_features_oracle(),
         "video_frame_sample": _video_frame_sample_oracle(),
         "real_decode_features": _real_decode_features_oracle(),
+        # recomputes the suite's violation rollup straight from the
+        # testdata tables; the Spark side reads it back from the WRITTEN
+        # violations.parquet (the sink path under test)
+        "validate_sink": _VALIDATE_SINK_ORACLE,
     }
