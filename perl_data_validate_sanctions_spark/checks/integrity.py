@@ -62,6 +62,23 @@ from ..sources import codec, jpeg, png
 _OUT = "partition_id int, image_id string, column string, detail string"
 
 
+def _sniff_unsupported(head: bytes) -> str | None:
+    """Name of a RECOGNIZED real-image container the engine ships no
+    decoder for (webp/gif/bmp/tiff), or None. Checked after the live
+    PNG/JPEG sniffs and before the synthetic-codec parse, so these
+    payloads get a distinct ``codec_unavailable`` violation reason
+    instead of masquerading as corruption (the payload may be valid)."""
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "webp"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if head[:2] == b"BM":
+        return "bmp"
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    return None
+
+
 def _check_real_row(
     pid: int,
     iid: str,
@@ -258,8 +275,8 @@ def integrity_violations(
                 if blob is None:
                     out.append((int(parts[i]), iid, "bytes", "null payload"))
                     continue
-                head = bytes(blob[:8])
-                if head == png.PNG_MAGIC or head[:3] == jpeg.JPEG_MAGIC:
+                head = bytes(blob[:12])
+                if head[:8] == png.PNG_MAGIC or head[:3] == jpeg.JPEG_MAGIC:
                     # real-decode mode: PNG/baseline-JPEG payloads
                     # decode end-to-end via the stdlib codecs; pixels
                     # compare against the same reference under the same
@@ -268,7 +285,7 @@ def integrity_violations(
                     # already touches every byte).
                     dec, fname = (
                         (png.decode_png_gray, "png")
-                        if head == png.PNG_MAGIC
+                        if head[:8] == png.PNG_MAGIC
                         else (jpeg.decode_jpeg_gray, "jpeg")
                     )
                     out.extend(
@@ -277,6 +294,19 @@ def integrity_violations(
                             int(ws[i]), int(hs[i]), fmts[i], mse_limit, thr,
                             dec, fname,
                         )
+                    )
+                    continue
+                known = _sniff_unsupported(head)
+                if known is not None:
+                    # recognized real-image container with no bundled
+                    # decoder (VERDICT r5 #4): the payload may be
+                    # perfectly valid, so reporting it as corruption
+                    # would be a lie — the distinct reason lets triage
+                    # separate "bad data" from "missing codec"
+                    out.append(
+                        (int(parts[i]), iid, "bytes",
+                         f"codec_unavailable: recognized {known} "
+                         "container, no bundled decoder")
                     )
                     continue
                 try:

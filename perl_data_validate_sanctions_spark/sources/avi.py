@@ -53,6 +53,13 @@ def encode_avi_mjpeg(
         raise ValueError("all frames must share one shape")
     if not 1 <= int(fps) <= 0xFFFFFFFF:
         raise ValueError("bad fps")
+    # strh packs the frame rect as signed 16-bit; without this guard an
+    # oversized frame would surface as struct.error instead of the
+    # module's documented ValueError contract (JPEG itself caps at
+    # 65535, but the rcFrame fields are the tighter bound here)
+    if not (0 < w <= 0x7FFF and 0 < h <= 0x7FFF):
+        raise ValueError(f"frame dims {w}x{h} out of AVI rcFrame range "
+                         "(1..32767)")
 
     payloads = [jpeg.encode_jpeg_gray(f, quality=quality) for f in frames]
     max_bytes = max(len(p) for p in payloads)

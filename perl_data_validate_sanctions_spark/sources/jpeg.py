@@ -308,7 +308,7 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("bad JPEG signature")
     pos = 2
     qts: dict[int, np.ndarray] = {}
-    huffs: dict[tuple[int, int], list[tuple[int, int] | None]] = {}
+    huffs: dict[tuple[int, int], list[int]] = {}
     frame: tuple[int, int, int] | None = None  # (h, w, qtable id)
     scan_ids: tuple[int, int] | None = None  # (dc table, ac table)
     while True:

@@ -164,13 +164,21 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
     ):  # pragma: no cover - Pillow absent in this container
         # every violation class has already raised above; a valid
         # stream decodes deterministically, so the C path is a pure
-        # speedup for the Average/Paeth per-pixel branches below
+        # speedup for the Average/Paeth per-pixel branches below.
+        # Pillow can still raise non-ValueError on its own account
+        # (DecompressionBombError at ~178 Mpx, OSError parse quirks) —
+        # the per-row error-isolation contract is "ValueError on bad
+        # payload", so any Pillow failure falls through to the pure-
+        # Python unfilter path instead of escaping as a task failure.
         import io
 
-        arr = np.asarray(_PILImage.open(io.BytesIO(data)), dtype=np.uint8)
-        if arr.shape != (h, w):
-            raise ValueError("decoder shape mismatch")
-        return int(w), int(h), arr
+        try:
+            arr = np.asarray(_PILImage.open(io.BytesIO(data)),
+                             dtype=np.uint8)
+            if arr.shape == (h, w):
+                return int(w), int(h), arr
+        except Exception:  # noqa: BLE001
+            pass
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
     out = np.zeros((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.uint8)

@@ -38,9 +38,14 @@ def encode_wav_pcm16(samples: np.ndarray, rate: int = 16_000) -> bytes:
     s = np.asarray(samples, dtype="<i2")
     if s.ndim != 1 or not s.size:
         raise ValueError("expected a non-empty 1-D int16 sample array")
-    if not 1 <= int(rate) <= 0xFFFFFFFF:
+    # byte-rate (rate*2) must itself fit the 32-bit fmt field
+    if not 1 <= int(rate) <= 0x7FFFFFFF:
         raise ValueError("bad sample rate")
     data = s.tobytes()
+    # RIFF sizes are 32-bit: oversized data must fail as the module's
+    # documented ValueError, not as struct.error mid-pack
+    if len(data) + 44 > 0xFFFFFFFF:
+        raise ValueError("sample data exceeds the 4 GiB RIFF size field")
     fmt_body = struct.pack(
         "<HHIIHH",
         1,            # audio format: integer PCM

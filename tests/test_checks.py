@@ -240,3 +240,41 @@ def test_drift_chi2_single_partition_degenerate(spark):
     assert r["statistic"] == pytest.approx(10 * 1e6)
     assert r["p_value"] == 1.0
     assert r["drifted"] is False
+
+
+def test_integrity_codec_unavailable_reason(spark):
+    """A recognized real-image container with no bundled decoder (webp,
+    gif, bmp, tiff) gets the DISTINCT codec_unavailable reason — not the
+    generic undecodable-payload corruption detail (VERDICT r5 #4: the
+    payload may be perfectly valid; triage must be able to separate
+    missing-codec from bad data)."""
+    webp = b"RIFF" + (1000).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 16
+    gif = b"GIF89a" + b"\x00" * 20
+    tiff = b"II*\x00" + b"\x00" * 20
+    junk = b"not an image at all"
+    rows = [
+        ("img-webp-000001", bytearray(webp), 64, 48, "webp", "a photo", 1),
+        ("img-gif-0000002", bytearray(gif), 64, 48, "webp", "a photo", 2),
+        ("img-tiff-000003", bytearray(tiff), 64, 48, "webp", "a photo", 3),
+        ("img-junk-000004", bytearray(junk), 64, 48, "webp", "a photo", 4),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    v = {
+        r["image_id"]: r["detail"]
+        for r in integrity_violations(
+            df, logical_partition("image_id"), F.lit("a photo")
+        ).collect()
+    }
+    assert v["img-webp-000001"].startswith(
+        "codec_unavailable: recognized webp"
+    )
+    assert v["img-gif-0000002"].startswith("codec_unavailable: recognized gif")
+    assert v["img-tiff-000003"].startswith(
+        "codec_unavailable: recognized tiff"
+    )
+    # arbitrary junk stays a corruption-class detail, NOT codec_unavailable
+    assert v["img-junk-000004"].startswith("undecodable payload")
