@@ -1206,6 +1206,65 @@ def _real_decode_features_oracle() -> str:
     )
 
 
+WEBP_FEATURE_PARAMS = [
+    (f"webp-feat-{i:03d}", (16, 32, 17, 21)[i % 4], (8, 16, 9, 24)[i % 4],
+     8100 + 13 * i)
+    for i in range(10)
+]
+
+
+def q_webp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features over REAL WebP-lossless payloads — the
+    from-scratch VP8L codec (sources/webp.py) exercised END-TO-END
+    through the Spark mapInPandas path. Golden-VALUES oracle from the
+    ORIGINAL pixels: VP8L is lossless, so equality proves the whole
+    engine path (RIFF walk, prefix decode, inverse transforms, feature
+    math) codec-independently — the same device as the PNG leg of
+    q:real_decode_features. Conformance of the codec itself is pinned
+    separately against the system libwebp (tests/test_webp.py)."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        extract_image_features,
+    )
+    from perl_data_validate_sanctions_spark.sources import codec, webp
+
+    rows = [
+        (rid, bytearray(webp.encode_webp_gray(codec.render(seed, w, h))))
+        for rid, w, h, seed in WEBP_FEATURE_PARAMS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return extract_image_features(df).select(
+        "image_id", "fmt", "w", "h",
+        F.round("mean_luma", 4).alias("mean_luma"),
+        F.round("std_luma", 4).alias("std_luma"),
+        F.round("edge_energy", 4).alias("edge_energy"),
+    )
+
+
+def _webp_decode_features_oracle() -> str:
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.sources import codec
+
+    vals = []
+    for rid, w, h, seed in WEBP_FEATURE_PARAMS:
+        px = codec.render(seed, w, h)  # lossless: original pixels
+        p16 = px.astype(np.int16)
+        gx = float(np.abs(np.diff(p16, axis=1)).mean()) if w > 1 else 0.0
+        gy = float(np.abs(np.diff(p16, axis=0)).mean()) if h > 1 else 0.0
+        vals.append(
+            f"('{rid}', 'webp', {w}, {h}, {float(px.mean())!r}, "
+            f"{float(px.std())!r}, {gx + gy!r})"
+        )
+    return (
+        "SELECT image_id, fmt, w, h, "
+        "round(mean_luma, 4) AS mean_luma, "
+        "round(std_luma, 4) AS std_luma, "
+        "round(edge_energy, 4) AS edge_energy FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, fmt, w, h, mean_luma, std_luma, edge_energy)"
+    )
+
+
 # pinned video parameter set (id, seed, n_frames, fps): frames are the
 # deterministic codec renders, MJPEG-encoded at q95 into an AVI clip
 VIDEO_SAMPLE_PARAMS = [
@@ -1653,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "real_decode_features": q_real_decode_features,
         "curate_corpus": q_curate_corpus,
         "validate_sink": q_validate_sink,
+        "webp_decode_features": q_webp_decode_features,
     }
 
 
@@ -1703,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _audio_features_oracle(),
         "video_frame_sample": _video_frame_sample_oracle(),
         "real_decode_features": _real_decode_features_oracle(),
+        "webp_decode_features": _webp_decode_features_oracle(),
         # recomputes the suite's violation rollup straight from the
         # testdata tables; the Spark side reads it back from the WRITTEN
         # violations.parquet (the sink path under test)

@@ -302,6 +302,76 @@ def build_jpeg_images(spark, n_rows: int, cache_dir: str):
     return spark.read.parquet(path)
 
 
+def build_webp_images(spark, n_rows: int, cache_dir: str):
+    """n_rows REAL WebP-lossless (VP8L) payloads (64×48, from-scratch
+    encoder over the reference pixels; every 100th tail-truncated — the
+    deterministic corruption for an entropy-coded stream, same rationale
+    as JPEG) persisted once as parquet."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    path = f"{cache_dir}/webp_images_{n_rows}.parquet"
+    if not os.path.isdir(path):
+        from perl_data_validate_sanctions_spark.sources import codec, webp
+
+        W, H = 64, 48
+
+        def enc(batches):
+            for pdf in batches:
+                rows = []
+                for iid in pdf["image_id"]:
+                    blob = bytearray(webp.encode_webp_gray(
+                        codec.decode_reference(iid, W, H)
+                    ))
+                    if _id_num(iid) % 100 == 0:
+                        del blob[-12:]  # planted corruption (truncation)
+                    rows.append((iid, bytes(blob), W, H, "webp", None, 0))
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash"],
+                )
+
+        (
+            spark.range(n_rows)
+            .repartition(32)
+            .select(F.format_string("wbp-%09d", "id").alias("image_id"))
+            .mapInPandas(
+                enc,
+                "image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long",
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def bench_webp_integrity(spark, n_rows: int, cache_dir: str) -> float:
+    """Wall seconds for the integrity check over real VP8L payloads —
+    every byte travels the from-scratch prefix-decode/inverse-transform
+    path (sources/webp.py), pixels compare against the reference under
+    the PSNR gate. Pure-Python entropy decode: ~10 ms/64×48 image, the
+    documented slow leg (see sources/webp.py throughput note)."""
+    from pyspark.sql import functions as F
+
+    from perl_data_validate_sanctions_spark.checks.integrity import (
+        integrity_violations,
+    )
+    from perl_data_validate_sanctions_spark.sources.synth import (
+        logical_partition,
+    )
+
+    df = build_webp_images(spark, n_rows, cache_dir)
+    t0 = time.time()
+    n_bad = integrity_violations(
+        df, logical_partition("image_id"), F.lit(None).cast("string")
+    ).count()
+    wall = time.time() - t0
+    assert n_bad == n_rows // 100, f"planted corruption miscount: {n_bad}"
+    return wall
+
+
 def bench_jpeg_integrity(spark, n_rows: int, cache_dir: str) -> float:
     """Wall seconds for the integrity check over real baseline-JPEG
     payloads — every byte travels the stdlib+numpy decode (Huffman LUT
@@ -638,6 +708,16 @@ def main() -> None:
     sect.run(
         "integrity_jpeg_real_decode_20k",
         lambda: bench_jpeg_integrity(spark, 20_000, cache_dir),
+    )
+
+    # REAL-decode integrity on WebP-lossless payloads: 5k from-scratch
+    # VP8L encodes (1% truncated), validated end-to-end through the
+    # format-sniffed prefix-decode/inverse-transform path
+    # (sources/webp.py) — smaller row count than PNG/JPEG because the
+    # pure-Python entropy decode is the documented slow leg
+    sect.run(
+        "integrity_webp_real_decode_5k",
+        lambda: bench_webp_integrity(spark, 5_000, cache_dir),
     )
 
     # suite with verdict/violation sinks written to parquet (the 100 TB

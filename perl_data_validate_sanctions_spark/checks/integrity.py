@@ -57,19 +57,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..schema import VIOLATION_SCHEMA
-from ..sources import codec, jpeg, png
+from ..sources import codec, jpeg, png, webp
 
 _OUT = "partition_id int, image_id string, column string, detail string"
 
 
 def _sniff_unsupported(head: bytes) -> str | None:
     """Name of a RECOGNIZED real-image container the engine ships no
-    decoder for (webp/gif/bmp/tiff), or None. Checked after the live
-    PNG/JPEG sniffs and before the synthetic-codec parse, so these
-    payloads get a distinct ``codec_unavailable`` violation reason
-    instead of masquerading as corruption (the payload may be valid)."""
+    decoder for, or None. Checked after the live PNG/JPEG/VP8L sniffs
+    and before the synthetic-codec parse, so these payloads get a
+    distinct ``codec_unavailable`` violation reason instead of
+    masquerading as corruption (the payload may be valid). WebP is
+    only listed here for its lossy/extended flavors — VP8L lossless
+    decodes for real via sources/webp.py."""
     if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
-        return "webp"
+        return f"webp-{head[12:16].decode('ascii', 'replace').strip().lower()}"
     if head[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if head[:2] == b"BM":
@@ -275,19 +277,26 @@ def integrity_violations(
                 if blob is None:
                     out.append((int(parts[i]), iid, "bytes", "null payload"))
                     continue
-                head = bytes(blob[:12])
-                if head[:8] == png.PNG_MAGIC or head[:3] == jpeg.JPEG_MAGIC:
-                    # real-decode mode: PNG/baseline-JPEG payloads
-                    # decode end-to-end via the stdlib codecs; pixels
-                    # compare against the same reference under the same
-                    # PSNR gate. Real rows carry explicit pixels, so
-                    # the sampled fast path doesn't apply (decode
-                    # already touches every byte).
-                    dec, fname = (
-                        (png.decode_png_gray, "png")
-                        if head[:8] == png.PNG_MAGIC
-                        else (jpeg.decode_jpeg_gray, "jpeg")
-                    )
+                head = bytes(blob[:16])
+                is_vp8l = (
+                    head[:4] == webp.WEBP_RIFF
+                    and head[8:12] == webp.WEBP_FOURCC
+                    and head[12:16] == b"VP8L"
+                )
+                if (head[:8] == png.PNG_MAGIC
+                        or head[:3] == jpeg.JPEG_MAGIC or is_vp8l):
+                    # real-decode mode: PNG / baseline-JPEG / VP8L
+                    # payloads decode end-to-end via the from-scratch
+                    # codecs; pixels compare against the same reference
+                    # under the same PSNR gate. Real rows carry
+                    # explicit pixels, so the sampled fast path doesn't
+                    # apply (decode already touches every byte).
+                    if head[:8] == png.PNG_MAGIC:
+                        dec, fname = png.decode_png_gray, "png"
+                    elif head[:3] == jpeg.JPEG_MAGIC:
+                        dec, fname = jpeg.decode_jpeg_gray, "jpeg"
+                    else:
+                        dec, fname = webp.decode_webp_gray, "webp"
                     out.extend(
                         _check_real_row(
                             int(parts[i]), iid, bytes(blob),

@@ -34,12 +34,14 @@ def _parse_headers(pdf: pd.DataFrame):
     """Per-row header parse (µs each) → groups keyed by (w, h, amp) of
     (row_idx, seed) pairs for synthetic PDVS1 payloads, plus a list of
     (row_idx, fmt, blob) for REAL-format rows (PNG signature / JPEG SOI
+    / RIFF-WEBP
     — same sniff as checks/integrity.py), which decode per-row through
     the stdlib codecs. Undecodable rows are silently skipped (the
     feature extractor's contract — the integrity check is where bad
     payloads get FLAGGED)."""
     from ..sources import jpeg as _jpeg
     from ..sources import png as _png
+    from ..sources import webp as _webp
 
     groups: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
     real: list[tuple[int, str, bytes]] = []
@@ -48,14 +50,18 @@ def _parse_headers(pdf: pd.DataFrame):
         fmts.append(None)
         if blob is None:
             continue
-        head = bytes(blob[:8])
-        if head == _png.PNG_MAGIC:
+        head = bytes(blob[:12])
+        if head[:8] == _png.PNG_MAGIC:
             fmts[-1] = "png"
             real.append((i, "png", bytes(blob)))
             continue
         if head[:3] == _jpeg.JPEG_MAGIC:
             fmts[-1] = "jpeg"
             real.append((i, "jpeg", bytes(blob)))
+            continue
+        if head[:4] == _webp.WEBP_RIFF and head[8:12] == _webp.WEBP_FOURCC:
+            fmts[-1] = "webp"
+            real.append((i, "webp", bytes(blob)))
             continue
         try:
             p = bytes(blob).split(b"|")
@@ -75,10 +81,13 @@ def _decode_real(fmt: str, blob: bytes) -> np.ndarray | None:
     stream is broken / out of profile (skip — integrity flags it)."""
     from ..sources import jpeg as _jpeg
     from ..sources import png as _png
+    from ..sources import webp as _webp
 
     try:
         if fmt == "png":
             _, _, px = _png.decode_png_gray(blob)
+        elif fmt == "webp":
+            _, _, px = _webp.decode_webp_gray(blob)
         else:
             _, _, px = _jpeg.decode_jpeg_gray(blob)
         return px

@@ -285,16 +285,20 @@ def real_decode(payload: bytes) -> np.ndarray:
     """Real-codec path.
 
     PNG payloads decode END-TO-END with the stdlib-only decoder
-    (sources/png.py: zlib inflate + RFC 2083 unfiltering) and baseline
+    (sources/png.py: zlib inflate + RFC 2083 unfiltering), baseline
     grayscale JPEG with the stdlib+numpy ITU-T T.81 decoder
-    (sources/jpeg.py) — no Pillow needed for either. Other formats
-    (webp etc.) still require Pillow, which this container does not
-    ship, and raise ``NotImplementedError`` with the swap instructions.
-    ``checks/integrity.py`` sniffs both signatures itself and validates
+    (sources/jpeg.py), and WebP-lossless with the from-scratch VP8L
+    decoder (sources/webp.py: prefix codes, LZ77, color cache, all
+    four inverse transforms — conformance cross-checked against the
+    system libwebp in tests) — no Pillow needed for any of them.
+    Remaining formats (lossy VP8, gif, …) require Pillow, which this
+    container does not ship, and raise ``NotImplementedError``.
+    ``checks/integrity.py`` sniffs the signatures itself and validates
     decoded pixels against the reference image, so the integrity
-    check's real-decode mode is live for PNG and JPEG today."""
+    check's real-decode mode is live for PNG, JPEG and VP8L today."""
     from . import jpeg as _jpeg
     from . import png as _png
+    from . import webp as _webp
 
     blob = bytes(payload)
     if blob[:8] == _png.PNG_MAGIC:
@@ -303,15 +307,20 @@ def real_decode(payload: bytes) -> np.ndarray:
     if blob[:3] == _jpeg.JPEG_MAGIC:
         _, _, pixels = _jpeg.decode_jpeg_gray(blob)
         return pixels
+    if blob[:4] == _webp.WEBP_RIFF and blob[8:12] == _webp.WEBP_FOURCC:
+        # VP8L decodes for real; lossy VP8/VP8X raise ValueError inside
+        _, _, pixels = _webp.decode_webp_gray(blob)
+        return pixels
     try:  # pragma: no cover - container has no PIL
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG/JPEG real decode requires Pillow, which is not "
-            "available in this environment; PNG and baseline JPEG "
-            "payloads decode via the stdlib codecs (sources/png.py, "
-            "sources/jpeg.py), and the deterministic fake codec "
-            "(decode()) covers the synthetic PDVS1 format"
+            "non-PNG/JPEG/VP8L real decode requires Pillow, which is "
+            "not available in this environment; PNG, baseline JPEG and "
+            "WebP-lossless payloads decode via the from-scratch codecs "
+            "(sources/png.py, sources/jpeg.py, sources/webp.py), and "
+            "the deterministic fake codec (decode()) covers the "
+            "synthetic PDVS1 format"
         ) from e
     import io  # pragma: no cover
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
-from perl_data_validate_sanctions_spark.sources import avi, jpeg, png, wav
+from perl_data_validate_sanctions_spark.sources import avi, jpeg, png, wav, webp
 
 _SETTINGS = dict(max_examples=25, deadline=None, derandomize=True)
 
@@ -95,3 +95,12 @@ def test_avi_roundtrip_property(imgs, fps):
     assert fps_out == fps and len(out) == len(frames)
     for f, o in zip(frames, out):
         assert _psnr(o, f) >= 40.0
+
+
+@given(img=_images())
+@settings(**_SETTINGS)
+def test_webp_roundtrip_lossless_property(img):
+    """VP8L is lossless: decode(encode(img)) == img for every image."""
+    w, h, out = webp.decode_webp_gray(webp.encode_webp_gray(img))
+    assert (w, h) == (img.shape[1], img.shape[0])
+    assert np.array_equal(out, img)

@@ -1,0 +1,256 @@
+"""WebP-lossless (VP8L) codec: self round-trips, malformed-stream
+rejection, conformance against the SYSTEM libwebp (ctypes, both
+directions — our encoder under their decoder, their encoder with
+transforms/cache/LZ77 under our decoder), and the engine integration
+(integrity real-decode + feature extraction)."""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+
+import numpy as np
+import pytest
+
+from perl_data_validate_sanctions_spark.sources import codec, webp
+
+
+def _libwebp():
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def test_round_trip_shapes():
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (3, 5), (48, 64), (17, 31), (1, 200), (200, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, out = webp.decode_webp_gray(webp.encode_webp_gray(img))
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(out, img), shape
+
+
+def test_round_trip_degenerate_codes():
+    # single-symbol green code (zero-bit) and two-symbol simple code
+    img = np.full((10, 10), 77, dtype=np.uint8)
+    assert np.array_equal(
+        webp.decode_webp_gray(webp.encode_webp_gray(img))[2], img
+    )
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 2, size=(9, 13), dtype=np.uint8) * 200
+           + 11).astype(np.uint8)
+    assert np.array_equal(
+        webp.decode_webp_gray(webp.encode_webp_gray(img))[2], img
+    )
+
+
+def test_malformed_streams_raise_valueerror():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = webp.encode_webp_gray(img)
+    with pytest.raises(ValueError):
+        webp.decode_webp_gray(blob[:-4])  # truncated
+    with pytest.raises(ValueError):
+        webp.decode_webp_gray(b"RIFX" + blob[4:])  # bad container magic
+    bad_sig = bytearray(blob)
+    bad_sig[20] ^= 0xFF  # VP8L signature byte
+    with pytest.raises(ValueError):
+        webp.decode_webp_gray(bytes(bad_sig))
+    # lossy VP8 and extended VP8X are recognized-but-unsupported
+    lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="lossy"):
+        webp.decode_webp_gray(lossy)
+
+
+def test_bitflip_fuzz_error_isolated():
+    """Entropy streams may decode a flipped bit into different pixels
+    (no CRC — same as JPEG), but they must NEVER escape the per-row
+    ValueError contract with any other exception type."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    blob = bytearray(webp.encode_webp_gray(img))
+    for _ in range(300):
+        i = int(rng.integers(12, len(blob)))
+        b = int(rng.integers(0, 8))
+        blob[i] ^= 1 << b
+        try:
+            webp.decode_webp_gray(bytes(blob))
+        except ValueError:
+            pass
+        finally:
+            blob[i] ^= 1 << b
+
+
+def test_real_decode_routes_webp():
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8) * 5
+    px = codec.real_decode(webp.encode_webp_gray(img))
+    assert np.array_equal(px, img)
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="system libwebp absent")
+def test_libwebp_decodes_our_streams():
+    lib = _libwebp()
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(48, 64), dtype=np.uint8)
+    blob = webp.encode_webp_gray(img)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = lib.WebPDecodeRGBA(blob, len(blob), ctypes.byref(w),
+                           ctypes.byref(h))
+    assert p, "libwebp rejected our stream"
+    try:
+        rgba = np.ctypeslib.as_array(
+            p, shape=(h.value * w.value * 4,)
+        ).reshape(h.value, w.value, 4).copy()
+    finally:
+        lib.WebPFree(p)
+    assert (w.value, h.value) == (64, 48)
+    assert np.array_equal(rgba[:, :, 1], img)
+    assert (rgba[:, :, 3] == 255).all()
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="system libwebp absent")
+def test_our_decoder_handles_real_libwebp_streams():
+    """libwebp's lossless encoder uses subtract-green, predictor
+    transforms, palettes with sub-byte packing, color cache, meta
+    prefix groups and short-distance LZ77 — decoding its output
+    exactly is the conformance proof for the whole decoder surface
+    (incl. the 120-entry distance map)."""
+    lib = _libwebp()
+    rng = np.random.default_rng(123)
+    yy, xx = np.mgrid[0:120, 0:160]
+    cases = [
+        rng.integers(0, 256, size=(48, 64), dtype=np.uint8),
+        np.tile(np.arange(64, dtype=np.uint8) * 4, (48, 1)),
+        np.kron(rng.integers(0, 4, size=(6, 8), dtype=np.uint8) * 80,
+                np.ones((8, 8), np.uint8)),
+        np.zeros((40, 40), np.uint8),
+        (rng.integers(0, 2, size=(33, 97), dtype=np.uint8) * 255
+         ).astype(np.uint8),
+        (rng.integers(0, 16, size=(50, 81), dtype=np.uint8) * 16
+         ).astype(np.uint8),
+        ((yy * 2 + xx + rng.integers(0, 8, size=(120, 160))) % 256
+         ).astype(np.uint8),
+    ]
+    # a big mixed image forces meta prefix-code groups
+    big = np.zeros((200, 256), np.uint8)
+    big[:100] = rng.integers(0, 256, size=(100, 256), dtype=np.uint8)
+    big[100:] = np.tile(np.arange(256, dtype=np.uint8), (100, 1))
+    cases.append(big)
+    for g in cases:
+        hh, ww = g.shape
+        rgba = np.zeros((hh, ww, 4), np.uint8)
+        rgba[:, :, 0] = g
+        rgba[:, :, 1] = g
+        rgba[:, :, 2] = g
+        rgba[:, :, 3] = 255
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        size = lib.WebPEncodeLosslessRGBA(rgba.tobytes(), ww, hh, ww * 4,
+                                          ctypes.byref(out))
+        assert size > 0
+        try:
+            enc = ctypes.string_at(out, size)
+        finally:
+            lib.WebPFree(out)
+        dw, dh, argb = webp.decode_webp_argb(enc)
+        assert (dw, dh) == (ww, hh)
+        assert np.array_equal(((argb >> 8) & 0xFF).astype(np.uint8), g)
+        assert np.array_equal(((argb >> 16) & 0xFF).astype(np.uint8), g)
+        assert np.array_equal((argb & 0xFF).astype(np.uint8), g)
+        assert ((argb >> 24) == 255).all()
+
+
+def test_integrity_webp_end_to_end(spark):
+    """Clean VP8L rows pass, a truncated row is flagged undecodable, a
+    wrong-pixels row fails the PSNR gate, and a lossy-VP8 row gets the
+    distinct codec_unavailable reason — all through the Spark check."""
+    from pyspark.sql import functions as F
+
+    from perl_data_validate_sanctions_spark.checks.integrity import (
+        integrity_violations,
+    )
+    from perl_data_validate_sanctions_spark.sources.synth import (
+        logical_partition,
+    )
+
+    W, H = 64, 48
+    rows = []
+    for i in range(8):
+        iid = f"img-webp{i:07d}"
+        ref = codec.decode_reference(iid, W, H)
+        blob = webp.encode_webp_gray(ref)
+        rows.append((iid, bytearray(blob), W, H, "webp", "a photo", i))
+    # planted: truncation (undecodable)
+    trunc_id = "img-webp-trunc1"
+    blob = webp.encode_webp_gray(codec.decode_reference(trunc_id, W, H))
+    rows.append((trunc_id, bytearray(blob[:-12]), W, H, "webp",
+                 "a photo", 100))
+    # planted: VALID stream of the wrong pixels (PSNR violation)
+    wrong_id = "img-webp-wrong1"
+    noise = np.random.default_rng(5).integers(0, 256, size=(H, W),
+                                              dtype=np.uint8)
+    rows.append((wrong_id, bytearray(webp.encode_webp_gray(noise)),
+                 W, H, "webp", "a photo", 101))
+    # planted: lossy VP8 container (codec_unavailable)
+    lossy_id = "img-webp-lossy1"
+    lossy = (b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 8) + b"\x00" * 8)
+    rows.append((lossy_id, bytearray(lossy), W, H, "webp", "a photo", 102))
+
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    v = {
+        r["image_id"]: r["detail"]
+        for r in integrity_violations(
+            df, logical_partition("image_id"), F.lit("a photo")
+        ).collect()
+    }
+    clean_ids = {f"img-webp{i:07d}" for i in range(8)}
+    assert not clean_ids & set(v), v
+    assert v[trunc_id].startswith("undecodable payload")
+    assert "psnr" in v[wrong_id]
+    assert v[lossy_id].startswith("codec_unavailable: recognized webp-vp8")
+
+
+def test_image_features_on_webp_rows(spark):
+    """extract_image_features decodes VP8L rows for real: features
+    equal the independent numpy computation on the ORIGINAL pixels
+    (lossless — codec-independent proof, same device as PNG's)."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    W, H = 32, 24
+    ids = [f"img-wfeat{i:06d}" for i in range(4)]
+    rows = [
+        (iid, bytearray(webp.encode_webp_gray(
+            codec.decode_reference(iid, W, H))), W, H, "webp", None, 0)
+        for iid in ids
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    got = {r["image_id"]: r for r in extract_image_features(df).collect()}
+    assert set(got) == set(ids)
+    for iid in ids:
+        ref = codec.decode_reference(iid, W, H).astype(np.float64)
+        assert got[iid]["mean_luma"] == pytest.approx(ref.mean(), abs=1e-3)
+        assert got[iid]["std_luma"] == pytest.approx(ref.std(), abs=1e-3)
