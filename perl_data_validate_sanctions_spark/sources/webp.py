@@ -49,26 +49,61 @@ VP8L_MAGIC_BYTE = 0x2F
 
 
 class _BitReader:
-    """LSB-first bit reader over a bytes object (spec §"RIFF header")."""
+    """LSB-first bit reader with a buffered peek window (the VP8L
+    entropy loop is inherently sequential; the u64-ish buffer plus the
+    prefix-code peek LUT below is what keeps the per-pixel cost at
+    Python-interpreter floor instead of per-BIT floor — same device as
+    jpeg.py's sliding-window Huffman)."""
 
-    __slots__ = ("data", "pos", "nbits")
+    __slots__ = ("data", "n", "bytepos", "buf", "nbuf", "consumed_pad")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0  # bit position
-        self.nbits = 8 * len(data)
+        self.n = len(data)
+        self.bytepos = 0
+        self.buf = 0
+        self.nbuf = 0
+        self.consumed_pad = 0  # phantom zero-bits consumed past the end
+
+    def _fill(self, need: int) -> None:
+        data, pos, n = self.data, self.bytepos, self.n
+        buf, nbuf = self.buf, self.nbuf
+        while nbuf < need:
+            if pos < n:
+                buf |= data[pos] << nbuf
+                pos += 1
+            else:
+                # pad with zeros; consuming any of them = truncation
+                self.consumed_pad += 8
+            nbuf += 8
+        self.data_pos_store(pos, buf, nbuf)
+
+    def data_pos_store(self, pos: int, buf: int, nbuf: int) -> None:
+        self.bytepos, self.buf, self.nbuf = pos, buf, nbuf
+
+    def peek(self, k: int) -> int:
+        if self.nbuf < k:
+            self._fill(k)
+        return self.buf & ((1 << k) - 1)
+
+    def skip(self, k: int) -> None:
+        self.buf >>= k
+        self.nbuf -= k
+        if self.consumed_pad and self.nbuf < self.consumed_pad:
+            raise ValueError("bitstream truncated")
 
     def bit(self) -> int:
-        p = self.pos
-        if p >= self.nbits:
-            raise ValueError("bitstream truncated")
-        self.pos = p + 1
-        return (self.data[p >> 3] >> (p & 7)) & 1
+        if self.nbuf < 1:
+            self._fill(1)
+        v = self.buf & 1
+        self.skip(1)
+        return v
 
     def bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            v |= self.bit() << i
+        if self.nbuf < n:
+            self._fill(n)
+        v = self.buf & ((1 << n) - 1)
+        self.skip(n)
         return v
 
 
@@ -125,14 +160,21 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
+_LUT_BITS = 9  # root peek width: covers virtually all hot symbols
+
+
 class _Huffman:
-    """Prefix-code decoder: canonical (length, msb-first code) table.
+    """Prefix-code decoder: canonical codes with a deflate-style
+    root LUT — peek ``_LUT_BITS`` stream bits (LSB-first window; the
+    first-read bit is the code's MSB, so LUT keys are the bit-reversed
+    code), one dict/list hit for any code ≤ 9 bits, slow canonical walk
+    for the rare longer ones.
 
     A lone used symbol is a zero-bit code (matches libwebp's table
     builder and the simple-code semantics); anything else must form a
     COMPLETE tree or the stream is rejected."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("table", "single", "lut")
 
     def __init__(self, lengths: list[int]):
         used = [(s, ln) for s, ln in enumerate(lengths) if ln]
@@ -141,6 +183,7 @@ class _Huffman:
         if len(used) == 1:
             self.single = used[0][0]
             self.table = None
+            self.lut = None
             return
         self.single = None
         space = 1 << _MAX_CODE_LENGTH
@@ -152,10 +195,31 @@ class _Huffman:
             raise ValueError("prefix code not complete")
         codes = _canonical_codes(lengths)
         self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
+        # root LUT: entry = (sym << 4) | code_length, 0 = escape
+        lut = [0] * (1 << _LUT_BITS)
+        for sym, (code, ln) in codes.items():
+            if ln > _LUT_BITS:
+                continue
+            # bit-reverse the code: stream window is LSB-first
+            rev = 0
+            c = code
+            for _ in range(ln):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            step = 1 << ln
+            entry = (sym << 4) | ln
+            for w in range(rev, 1 << _LUT_BITS, step):
+                lut[w] = entry
+        self.lut = lut
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        e = self.lut[br.peek(_LUT_BITS)]
+        if e:
+            br.skip(e & 15)
+            return e >> 4
+        # slow path: canonical walk for codes longer than the LUT
         acc = 0
         ln = 0
         table = self.table
