@@ -113,11 +113,12 @@ def run_validation(
     verdicts.
 
     ``sink_dir``: when set, the violation rows are WRITTEN to
-    ``{sink_dir}/violations.parquet`` (and the rollups to
-    ``partition_verdicts.parquet`` / ``check_summary.parquet``) and the
-    returned report's DataFrames read back from those tables — the
-    production shape at 10^12 rows, where verdict/violation artifacts
-    land in a table, not the driver. Default (None) keeps the
+    ``{sink_dir}/violations.parquet`` (the rollups to
+    ``partition_verdicts.parquet`` / ``check_summary.parquet``, and —
+    when ``with_stats`` — the per-column metrics to ``stats.parquet``)
+    and the returned report's DataFrames read back from those tables —
+    the production shape at 10^12 rows, where verdict/violation/metric
+    artifacts land in tables, not the driver. Default (None) keeps the
     collect-friendly localCheckpoint-backed report.
 
     ``match_strategy``: ``"auto"`` (default) applies the measured
@@ -390,17 +391,27 @@ def run_validation(
                     ),
                 )
 
-            with _TPE(max_workers=2) as _wex:
-                list(_wex.map(_write, (
-                    ("partition_verdicts", partition_verdicts),
-                    ("check_summary", check_summary),
-                )))
+            rollups = [
+                ("partition_verdicts", partition_verdicts),
+                ("check_summary", check_summary),
+            ]
+            if stats_df is not None:
+                # the north rule sinks METRICS alongside verdicts:
+                # the per-column stats land as a table too, and the
+                # report reads them back like every other artifact
+                rollups.append(("stats", stats_df))
+            with _TPE(max_workers=len(rollups)) as _wex:
+                list(_wex.map(_write, rollups))
             partition_verdicts = spark.read.parquet(
                 _os.path.join(sink_dir, "partition_verdicts.parquet")
             ).orderBy("partition_id")
             check_summary = spark.read.parquet(
                 _os.path.join(sink_dir, "check_summary.parquet")
             ).orderBy("check")
+            if stats_df is not None:
+                stats_df = spark.read.parquet(
+                    _os.path.join(sink_dir, "stats.parquet")
+                )
     finally:
         _cube_ex.shutdown(wait=False)
     return ValidationReport(

@@ -158,8 +158,16 @@ def test_validation_report_parquet_sink(spark, images, ref_dims, tmp_path):
     base = run_validation(images, entries=entries, ref_keys=ref_keys)
     sunk = run_validation(images, entries=entries, ref_keys=ref_keys,
                           sink_dir=str(tmp_path))
-    for name in ("violations", "partition_verdicts", "check_summary"):
+    for name in ("violations", "partition_verdicts", "check_summary",
+                 "stats"):
         assert os.path.isdir(str(tmp_path / f"{name}.parquet")), name
+    # the metrics table is sunk too and reads back value-identical
+    skey = lambda r: tuple(  # noqa: E731
+        sorted((k, str(v)) for k, v in r.asDict().items())
+    )
+    assert sorted(map(skey, sunk.stats.collect())) == sorted(
+        map(skey, base.stats.collect())
+    )
     key = lambda r: (r["partition_id"], r["n_rows"], r["n_violations"],  # noqa: E731
                      r["n_fail_rows"], r["passed"])
     assert sorted(map(key, sunk.partition_verdicts.collect())) == sorted(
