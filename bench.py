@@ -126,7 +126,14 @@ def build_mixed_images(spark, n_rows: int, cache_dir: str,
     rollup: PNG rows get one IDAT byte flipped (CRC failure), JPEG
     rows get their tail truncated (scan never reaches EOI — JPEG has
     no CRC, so a mid-stream flip may decode; truncation is the
-    deterministic corruption for a lossy bitstream)."""
+    deterministic corruption for a lossy bitstream).
+
+    WebP-lossless (sources/webp.py) is deliberately NOT mixed into
+    this fixture: the flagship number stays round-over-round
+    comparable (the r4->r5 fixture change already broke one
+    comparison), and the VP8L pure-Python entropy decode at ~4 ms per
+    image would dominate the suite wall at a 5% share. The webp leg
+    is benched separately as integrity_webp_real_decode_5k."""
     import pandas as pd
 
     from pyspark.sql import functions as F
