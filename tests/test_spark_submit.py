@@ -47,18 +47,19 @@ def _build_zip(dest: str) -> str:
     return zpath
 
 
-def test_spark_submit_py_files_end_to_end(tmp_path):
+def _submit(tmp_path, master: str, subdir: str) -> dict:
     zpath = _build_zip(str(tmp_path))
     job = str(tmp_path / "submit_job.py")
-    shutil.copy(os.path.join(REPO, "scripts", "submit_job.py"), job)
-    sink = str(tmp_path / "report")
+    if not os.path.exists(job):
+        shutil.copy(os.path.join(REPO, "scripts", "submit_job.py"), job)
+    sink = str(tmp_path / subdir)
 
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip must be the only package source
     proc = subprocess.run(
         [
             _spark_submit_bin(),
-            "--master", "local[2]",
+            "--master", master,
             "--conf", "spark.sql.shuffle.partitions=4",
             "--conf", "spark.ui.enabled=false",
             "--py-files", zpath,
@@ -75,6 +76,12 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert proc.returncode == 0, proc.stderr[-4000:]
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
     out = json.loads(line)
+    out["_sink"] = sink
+    return out
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    out = _submit(tmp_path, "local[2]", "report")
     assert out["n_rows"] == 2000
     assert out["n_partitions"] == 32
     # the synthetic table plants violations for these checks; their
@@ -85,4 +92,18 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         assert out["summary"].get(check, 0) > 0, out["summary"]
     # and the production artifacts really landed as parquet tables
     for name in ("violations", "partition_verdicts", "check_summary"):
-        assert os.path.isdir(os.path.join(sink, f"{name}.parquet")), name
+        assert os.path.isdir(os.path.join(out["_sink"],
+                                          f"{name}.parquet")), name
+
+
+def test_spark_submit_two_cluster_sizes_identical_results(tmp_path):
+    """The north rule's launch shape at two parallelism levels: the
+    SAME submit script on the SAME input at N and 4N local cores must
+    produce identical verdicts — results are a function of the data,
+    never of the cluster size. (Throughput at the two sizes is the
+    scaling harness's job — BENCH/bench_scaling.py; this pins the
+    correctness half.)"""
+    small = _submit(tmp_path, "local[1]", "report_n")
+    big = _submit(tmp_path, "local[4]", "report_4n")
+    for k in ("n_rows", "n_partitions", "n_failed_partitions", "summary"):
+        assert small[k] == big[k], (k, small[k], big[k])
