@@ -36,9 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_upd.add_argument(
         "--feed", action="append", default=[], metavar="SOURCE=PATH",
-        help="e.g. --feed OFAC-SDN=/data/sdn.xml (repeatable; sources: "
-             "OFAC-SDN OFAC-Consolidated HMT-Sanctions EU-Sanctions "
-             "UNSC-Sanctions MOHA-Sanctions)",
+        help="e.g. --feed OFAC-SDN=/data/sdn.xml or "
+             "--feed HMT-Sanctions=https://host/feed.csv (repeatable; "
+             "http(s) feeds go through the retry/redirect/token-scrub "
+             "fetch path; sources: OFAC-SDN OFAC-Consolidated "
+             "HMT-Sanctions EU-Sanctions UNSC-Sanctions MOHA-Sanctions)",
     )
     p_upd.add_argument("--snapshot", required=True,
                        help="entries snapshot parquet path (published "

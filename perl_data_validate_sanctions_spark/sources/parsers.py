@@ -883,12 +883,21 @@ PARSER_REGISTRY = {
 
 
 def fetch_sources(
-    spark: SparkSession, feeds: dict[str, str]
+    spark: SparkSession, feeds: dict[str, str],
+    retries: int = 3, transport=None,
 ) -> tuple[DataFrame | None, dict[str, int], dict[str, str]]:
     """Run the registered parser for each (source → path/url) feed with
     per-source error isolation (Fetcher.pm:830-859: one bad feed never
     aborts the run). Returns (union_of_entries, updated_by_source,
-    errors_by_source) — exactly the update_data() inputs."""
+    errors_by_source) — exactly the update_data() inputs.
+
+    Feed values may be local paths, ``file://`` URLs, or ``http(s)://``
+    URLs — remote feeds go through the retry/redirect/token-scrub
+    fetch path (sources/fetcher.py, Fetcher.pm:889-918 semantics);
+    ``transport``/``retries`` pass through for testability. Error
+    messages never carry an unscrubbed URL."""
+    from .fetcher import clean_url, fetch_to_file
+
     dfs: list[DataFrame] = []
     updated: dict[str, int] = {}
     errors: dict[str, str] = {}
@@ -898,6 +907,11 @@ def fetch_sources(
             errors[source] = f"no parser registered for {source!r}"
             continue
         try:
+            if path.startswith(("http://", "https://")):
+                path = fetch_to_file(path, retries=retries,
+                                     transport=transport)
+            elif path.startswith("file://"):
+                path = path[len("file://"):]
             upd, df = parser(spark, path)
             # force the parse eagerly so malformed feeds fail HERE,
             # inside this source's try, not downstream in the merge
