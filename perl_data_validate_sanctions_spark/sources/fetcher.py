@@ -60,7 +60,18 @@ def _default_transport(url: str, timeout_s: float):
 
     opener = urllib.request.build_opener(_NoRedirect)
     try:
+        # urllib exposes ONE timeout applied to every blocking socket
+        # op: pass the (strict) connect timeout to open(), then re-arm
+        # the underlying socket to the laxer inactivity timeout for the
+        # body read (Fetcher.pm:899-900 keeps the two distinct). If the
+        # socket isn't reachable on this Python build, the connect
+        # timeout simply governs reads too — strictly safer.
         resp = opener.open(url, timeout=timeout_s)
+        try:
+            sock = resp.fp.raw._sock  # noqa: SLF001
+            sock.settimeout(INACTIVITY_TIMEOUT_S)
+        except AttributeError:
+            pass
         return resp.status, resp.read(), None
     except urllib.error.HTTPError as e:
         loc = e.headers.get("Location") if e.headers else None
