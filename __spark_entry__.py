@@ -1265,6 +1265,72 @@ def _webp_decode_features_oracle() -> str:
     )
 
 
+WEBP_LOSSY_FEATURE_PARAMS = [
+    (f"vp8-feat-{i:03d}", (64, 48, 33, 24)[i % 4], (48, 32, 17, 24)[i % 4],
+     8600 + 29 * i)
+    for i in range(10)
+]
+
+
+def q_webp_lossy_decode_features(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Image features over REAL LOSSY-WebP (VP8) payloads — the
+    system-libwebp ctypes codec (sources/webp_sys.py) exercised
+    END-TO-END through the Spark mapInPandas path: container sniff →
+    lossy dispatch in sources/webp.py → feature math. Golden-VALUES
+    oracle from an independent driver-side decode of the SAME payloads
+    (lossy, so the invariant is payload-identical pixels, the same
+    device as q:real_decode_features' JPEG leg — the encode and both
+    decodes are the deterministic system library). Requires libwebp,
+    which this container ships; on a libwebp-free machine the same
+    payloads surface as the distinct codec_unavailable violation
+    (tests/test_webp_lossy.py pins that contract)."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        extract_image_features,
+    )
+    from perl_data_validate_sanctions_spark.sources import codec, webp_sys
+
+    rows = [
+        (rid, bytearray(webp_sys.encode_lossy_gray(
+            codec.render(seed, w, h), quality=95)))
+        for rid, w, h, seed in WEBP_LOSSY_FEATURE_PARAMS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return extract_image_features(df).select(
+        "image_id", "fmt", "w", "h",
+        F.round("mean_luma", 4).alias("mean_luma"),
+        F.round("std_luma", 4).alias("std_luma"),
+        F.round("edge_energy", 4).alias("edge_energy"),
+    )
+
+
+def _webp_lossy_decode_features_oracle() -> str:
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.sources import codec, webp_sys
+
+    vals = []
+    for rid, w, h, seed in WEBP_LOSSY_FEATURE_PARAMS:
+        blob = webp_sys.encode_lossy_gray(codec.render(seed, w, h),
+                                          quality=95)
+        _, _, px = webp_sys.decode_gray(blob)  # lossy: decoded pixels
+        p16 = px.astype(np.int16)
+        gx = float(np.abs(np.diff(p16, axis=1)).mean()) if w > 1 else 0.0
+        gy = float(np.abs(np.diff(p16, axis=0)).mean()) if h > 1 else 0.0
+        vals.append(
+            f"('{rid}', 'webp', {w}, {h}, {float(px.mean())!r}, "
+            f"{float(px.std())!r}, {gx + gy!r})"
+        )
+    return (
+        "SELECT image_id, fmt, w, h, "
+        "round(mean_luma, 4) AS mean_luma, "
+        "round(std_luma, 4) AS std_luma, "
+        "round(edge_energy, 4) AS edge_energy FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, fmt, w, h, mean_luma, std_luma, edge_energy)"
+    )
+
+
 # pinned video parameter set (id, seed, n_frames, fps): frames are the
 # deterministic codec renders, MJPEG-encoded at q95 into an AVI clip
 VIDEO_SAMPLE_PARAMS = [
@@ -1713,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "validate_sink": q_validate_sink,
         "webp_decode_features": q_webp_decode_features,
+        "webp_lossy_decode_features": q_webp_lossy_decode_features,
     }
 
 
@@ -1764,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_sample": _video_frame_sample_oracle(),
         "real_decode_features": _real_decode_features_oracle(),
         "webp_decode_features": _webp_decode_features_oracle(),
+        "webp_lossy_decode_features": _webp_lossy_decode_features_oracle(),
         # recomputes the suite's violation rollup straight from the
         # testdata tables; the Spark side reads it back from the WRITTEN
         # violations.parquet (the sink path under test)

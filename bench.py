@@ -354,6 +354,78 @@ def build_webp_images(spark, n_rows: int, cache_dir: str):
     return spark.read.parquet(path)
 
 
+def build_webp_lossy_images(spark, n_rows: int, cache_dir: str):
+    """n_rows REAL LOSSY-WebP (VP8) payloads (64×48, system-libwebp
+    q95 encode over the reference pixels; every 100th tail-truncated —
+    libwebp detects the broken partition framing) persisted once as
+    parquet. Requires libwebp (skipped at section level otherwise)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    path = f"{cache_dir}/webp_lossy_images_{n_rows}.parquet"
+    if not os.path.isdir(path):
+        from perl_data_validate_sanctions_spark.sources import (
+            codec,
+            webp_sys,
+        )
+
+        W, H = 64, 48
+
+        def enc(batches):
+            for pdf in batches:
+                rows = []
+                for iid in pdf["image_id"]:
+                    blob = bytearray(webp_sys.encode_lossy_gray(
+                        codec.decode_reference(iid, W, H), quality=95
+                    ))
+                    if _id_num(iid) % 100 == 0:
+                        del blob[-15:]  # planted corruption (truncation)
+                    rows.append((iid, bytes(blob), W, H, "webp", None, 0))
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash"],
+                )
+
+        (
+            spark.range(n_rows)
+            .repartition(32)
+            .select(F.format_string("vp8-%09d", "id").alias("image_id"))
+            .mapInPandas(
+                enc,
+                "image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long",
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def bench_webp_lossy_integrity(spark, n_rows: int, cache_dir: str) -> float:
+    """Wall seconds for the integrity check over real lossy-VP8
+    payloads — the system-libwebp ctypes decode (sources/webp_sys.py)
+    with the PSNR>=40dB lossy gate. C entropy decode, so this leg runs
+    at PNG-class speed, unlike the pure-Python VP8L leg."""
+    from pyspark.sql import functions as F
+
+    from perl_data_validate_sanctions_spark.checks.integrity import (
+        integrity_violations,
+    )
+    from perl_data_validate_sanctions_spark.sources.synth import (
+        logical_partition,
+    )
+
+    df = build_webp_lossy_images(spark, n_rows, cache_dir)
+    t0 = time.time()
+    n_bad = integrity_violations(
+        df, logical_partition("image_id"), F.lit(None).cast("string")
+    ).count()
+    wall = time.time() - t0
+    assert n_bad == n_rows // 100, f"planted corruption miscount: {n_bad}"
+    return wall
+
+
 def bench_webp_integrity(spark, n_rows: int, cache_dir: str) -> float:
     """Wall seconds for the integrity check over real VP8L payloads —
     every byte travels the from-scratch prefix-decode/inverse-transform
@@ -726,6 +798,19 @@ def main() -> None:
         "integrity_webp_real_decode_5k",
         lambda: bench_webp_integrity(spark, 5_000, cache_dir),
     )
+
+    # REAL-decode integrity on LOSSY-WebP (VP8) payloads: 20k
+    # system-libwebp q95 encodes (1% truncated), validated through the
+    # ctypes decode (sources/webp_sys.py) under the lossy PSNR gate —
+    # C entropy decode, so PNG-class row count; skipped cleanly on a
+    # libwebp-free machine
+    from perl_data_validate_sanctions_spark.sources import webp_sys
+
+    if webp_sys.available():
+        sect.run(
+            "integrity_webp_lossy_decode_20k",
+            lambda: bench_webp_lossy_integrity(spark, 20_000, cache_dir),
+        )
 
     # suite with verdict/violation sinks written to parquet (the 100 TB
     # story: artifacts land in a table, not the driver) — comparable to

@@ -62,14 +62,26 @@ from ..sources import codec, jpeg, png, webp
 _OUT = "partition_id int, image_id string, column string, detail string"
 
 
+def _webp_sys_available() -> bool:
+    """Whether the system libwebp is loadable in THIS process (each
+    Spark python worker probes once, then hits the module cache).
+    Indirection point so unit tests can pin the library-absent
+    contract without a real libwebp-free machine."""
+    from ..sources import webp_sys
+
+    return webp_sys.available()
+
+
 def _sniff_unsupported(head: bytes) -> str | None:
     """Name of a RECOGNIZED real-image container the engine ships no
-    decoder for, or None. Checked after the live PNG/JPEG/VP8L sniffs
+    decoder for, or None. Checked after the live PNG/JPEG/WebP sniffs
     and before the synthetic-codec parse, so these payloads get a
     distinct ``codec_unavailable`` violation reason instead of
-    masquerading as corruption (the payload may be valid). WebP is
-    only listed here for its lossy/extended flavors — VP8L lossless
-    decodes for real via sources/webp.py."""
+    masquerading as corruption (the payload may be valid). WebP only
+    reaches here for its lossy/extended flavors on a machine WITHOUT
+    the system libwebp — VP8L lossless decodes for real via
+    sources/webp.py, and VP8/VP8X decode via sources/webp_sys.py when
+    the library is loadable."""
     if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
         return f"webp-{head[12:16].decode('ascii', 'replace').strip().lower()}"
     if head[:6] in (b"GIF87a", b"GIF89a"):
@@ -278,15 +290,25 @@ def integrity_violations(
                     out.append((int(parts[i]), iid, "bytes", "null payload"))
                     continue
                 head = bytes(blob[:16])
-                is_vp8l = (
+                is_webp = (
                     head[:4] == webp.WEBP_RIFF
                     and head[8:12] == webp.WEBP_FOURCC
-                    and head[12:16] == b"VP8L"
+                )
+                is_vp8l = is_webp and head[12:16] == b"VP8L"
+                # lossy VP8 / extended VP8X decode through the system
+                # libwebp when it is loadable (sources/webp_sys.py);
+                # without it they fall to _sniff_unsupported below and
+                # keep the distinct codec_unavailable reason
+                is_lossy_webp = (
+                    is_webp
+                    and head[12:16] in (b"VP8 ", b"VP8X")
+                    and _webp_sys_available()
                 )
                 if (head[:8] == png.PNG_MAGIC
-                        or head[:3] == jpeg.JPEG_MAGIC or is_vp8l):
-                    # real-decode mode: PNG / baseline-JPEG / VP8L
-                    # payloads decode end-to-end via the from-scratch
+                        or head[:3] == jpeg.JPEG_MAGIC
+                        or is_vp8l or is_lossy_webp):
+                    # real-decode mode: PNG / baseline-JPEG / WebP
+                    # payloads decode end-to-end via the bundled
                     # codecs; pixels compare against the same reference
                     # under the same PSNR gate. Real rows carry
                     # explicit pixels, so the sampled fast path doesn't

@@ -291,11 +291,15 @@ def real_decode(payload: bytes) -> np.ndarray:
     decoder (sources/webp.py: prefix codes, LZ77, color cache, all
     four inverse transforms — conformance cross-checked against the
     system libwebp in tests) — no Pillow needed for any of them.
-    Remaining formats (lossy VP8, gif, …) require Pillow, which this
-    container does not ship, and raise ``NotImplementedError``.
+    Lossy VP8 / extended VP8X WebP dispatches to the SYSTEM libwebp
+    via ctypes (sources/webp_sys.py) when that library is loadable.
+    Remaining formats (gif, …; and lossy webp on a libwebp-free
+    machine) require Pillow, which this container does not ship, and
+    raise ``NotImplementedError`` / ``ValueError``.
     ``checks/integrity.py`` sniffs the signatures itself and validates
     decoded pixels against the reference image, so the integrity
-    check's real-decode mode is live for PNG, JPEG and VP8L today."""
+    check's real-decode mode is live for PNG, JPEG and all WebP
+    flavors today."""
     from . import jpeg as _jpeg
     from . import png as _png
     from . import webp as _webp
@@ -308,19 +312,21 @@ def real_decode(payload: bytes) -> np.ndarray:
         _, _, pixels = _jpeg.decode_jpeg_gray(blob)
         return pixels
     if blob[:4] == _webp.WEBP_RIFF and blob[8:12] == _webp.WEBP_FOURCC:
-        # VP8L decodes for real; lossy VP8/VP8X raise ValueError inside
+        # VP8L decodes for real (from scratch); lossy VP8/VP8X via the
+        # system libwebp when loadable, else ValueError inside
         _, _, pixels = _webp.decode_webp_gray(blob)
         return pixels
     try:  # pragma: no cover - container has no PIL
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG/JPEG/VP8L real decode requires Pillow, which is "
+            "non-PNG/JPEG/WebP real decode requires Pillow, which is "
             "not available in this environment; PNG, baseline JPEG and "
             "WebP-lossless payloads decode via the from-scratch codecs "
-            "(sources/png.py, sources/jpeg.py, sources/webp.py), and "
-            "the deterministic fake codec (decode()) covers the "
-            "synthetic PDVS1 format"
+            "(sources/png.py, sources/jpeg.py, sources/webp.py), lossy "
+            "WebP via the system libwebp (sources/webp_sys.py) when "
+            "loadable, and the deterministic fake codec (decode()) "
+            "covers the synthetic PDVS1 format"
         ) from e
     import io  # pragma: no cover
 

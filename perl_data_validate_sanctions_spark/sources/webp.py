@@ -18,10 +18,14 @@ under libwebp, and libwebp's own lossless encoder output — which uses
 transforms, caches, and short-distance LZ77 — must decode identically
 under THIS decoder.
 
-Scope (documented, enforced): VP8L (lossless) streams only. Lossy VP8
-and extended VP8X containers raise ``ValueError("vp8-lossy/vp8x
-unsupported")`` and surface as the integrity check's distinct
-``codec_unavailable`` violation, never as corruption.
+Scope (documented, enforced): the FROM-SCRATCH decoder covers VP8L
+(lossless) streams only. Lossy VP8 and extended VP8X containers are
+dispatched by ``decode_webp_gray`` to the SYSTEM libwebp via ctypes
+(sources/webp_sys.py — the same public C library this module's tests
+already use as the VP8L conformance oracle) when it is present; when
+it is absent they raise ``ValueError`` from ``decode_webp_argb`` and
+surface as the integrity check's distinct ``codec_unavailable``
+violation, never as corruption.
 
 Throughput note (same class as PNG's Paeth caveat): entropy decoding
 is inherently sequential, so this decoder runs a per-pixel Python
@@ -692,9 +696,23 @@ def decode_webp_argb(blob: bytes):
 
 
 def decode_webp_gray(blob: bytes):
-    """RIFF/WEBP VP8L → (w, h, uint8 (h, w)) from the GREEN channel —
-    the channel our grayscale encoder carries pixels in (and equal to
-    R/B for genuinely gray images)."""
+    """RIFF/WEBP → (w, h, uint8 (h, w)) from the GREEN channel — the
+    channel our grayscale encoder carries pixels in (and equal to R/B
+    for genuinely gray images).
+
+    VP8L payloads decode via the from-scratch decoder above; lossy
+    VP8 / extended VP8X payloads dispatch to the system libwebp
+    (sources/webp_sys.py) when it is loadable. Without the library
+    they fall through to ``decode_webp_argb``, whose distinct
+    ValueError the integrity check maps to ``codec_unavailable``."""
+    head = bytes(blob[:16])
+    if (len(head) == 16 and head[:4] == WEBP_RIFF
+            and head[8:12] == WEBP_FOURCC
+            and head[12:16] in (b"VP8 ", b"VP8X")):
+        from . import webp_sys
+
+        if webp_sys.available():
+            return webp_sys.decode_gray(blob)
     w, h, argb = decode_webp_argb(blob)
     return w, h, ((argb >> 8) & 0xFF).astype(np.uint8)
 

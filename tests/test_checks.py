@@ -269,9 +269,16 @@ def test_integrity_codec_unavailable_reason(spark):
             df, logical_partition("image_id"), F.lit("a photo")
         ).collect()
     }
-    assert v["img-webp-000001"].startswith(
-        "codec_unavailable: recognized webp"
-    )
+    from perl_data_validate_sanctions_spark.sources import webp_sys
+
+    if webp_sys.available():
+        # with the system libwebp loadable, the garbage VP8 chunk is
+        # actually examined — a decoder verdict, not a missing codec
+        assert v["img-webp-000001"].startswith("undecodable payload")
+    else:  # pragma: no cover - container ships libwebp7
+        assert v["img-webp-000001"].startswith(
+            "codec_unavailable: recognized webp"
+        )
     assert v["img-gif-0000002"].startswith("codec_unavailable: recognized gif")
     assert v["img-tiff-000003"].startswith(
         "codec_unavailable: recognized tiff"

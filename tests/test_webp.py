@@ -68,10 +68,15 @@ def test_malformed_streams_raise_valueerror():
     bad_sig[20] ^= 0xFF  # VP8L signature byte
     with pytest.raises(ValueError):
         webp.decode_webp_gray(bytes(bad_sig))
-    # lossy VP8 and extended VP8X are recognized-but-unsupported
+    # a GARBAGE lossy VP8 chunk stays a ValueError either way: the
+    # system libwebp rejects it when loadable; otherwise the from-
+    # scratch decoder's recognized-but-unsupported message fires
+    from perl_data_validate_sanctions_spark.sources import webp_sys
+
     lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
              + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
-    with pytest.raises(ValueError, match="lossy"):
+    match = "libwebp" if webp_sys.available() else "lossy"
+    with pytest.raises(ValueError, match=match):
         webp.decode_webp_gray(lossy)
 
 
@@ -175,8 +180,10 @@ def test_our_decoder_handles_real_libwebp_streams():
 
 def test_integrity_webp_end_to_end(spark):
     """Clean VP8L rows pass, a truncated row is flagged undecodable, a
-    wrong-pixels row fails the PSNR gate, and a lossy-VP8 row gets the
-    distinct codec_unavailable reason — all through the Spark check."""
+    wrong-pixels row fails the PSNR gate, and a GARBAGE lossy-VP8 row
+    is rejected (by the system libwebp when loadable, else via the
+    distinct codec_unavailable reason) — all through the Spark check.
+    Valid lossy payloads are covered in tests/test_webp_lossy.py."""
     from pyspark.sql import functions as F
 
     from perl_data_validate_sanctions_spark.checks.integrity import (
@@ -225,7 +232,16 @@ def test_integrity_webp_end_to_end(spark):
     assert not clean_ids & set(v), v
     assert v[trunc_id].startswith("undecodable payload")
     assert "psnr" in v[wrong_id]
-    assert v[lossy_id].startswith("codec_unavailable: recognized webp-vp8")
+    from perl_data_validate_sanctions_spark.sources import webp_sys
+
+    if webp_sys.available():
+        # the system libwebp examines the all-zero VP8 chunk and
+        # rejects it — a decoder verdict now, not a missing codec
+        assert v[lossy_id].startswith("undecodable payload")
+    else:  # pragma: no cover - container ships libwebp7
+        assert v[lossy_id].startswith(
+            "codec_unavailable: recognized webp-vp8"
+        )
 
 
 def test_image_features_on_webp_rows(spark):
