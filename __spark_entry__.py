@@ -620,6 +620,89 @@ GROUP BY r.pid, ow.no
 """
 
 
+def q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift of event_type mix per
+    day-of-week partition vs the rest of the table — the third drift
+    statistic next to KS and chi-square. PSI is algebraic over the
+    value histogram, so unlike those two it stays entirely JVM-side
+    (two HashAggregates, no applyInPandas — checks/drift.py
+    _psi_from_grid); the oracle recomputes the full definition
+    (eps-floored proportions, rest-of-table holdout, 0.25 major-shift
+    band) in pure SQL."""
+    from perl_data_validate_sanctions_spark.checks.drift import drift_check
+
+    ev = _t(spark, sf_dir, "events")
+    res = drift_check(ev, "event_type", F.dayofweek("ts"), kind="psi")
+    return res.select(
+        "partition_id", F.round("statistic", 6).alias("statistic"), "n",
+        "drifted",
+    )
+
+
+_DRIFT_PSI_ORACLE = """
+WITH obs AS (
+  SELECT dayofweek(ts) + 1 AS pid, event_type AS v,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT v, sum(n) AS gn FROM obs GROUP BY v),
+pids AS (SELECT DISTINCT pid FROM obs),
+-- same full (pid × value) grid as the engine's holdout construction
+grid AS (
+  SELECT p.pid, t.v, t.gn, COALESCE(o.n, 0) AS n
+  FROM pids p CROSS JOIN tot t
+  LEFT JOIN obs o ON o.pid = p.pid AND o.v = t.v
+),
+tots AS (SELECT pid, sum(n) AS own_tot, sum(gn - n) AS rest_tot
+         FROM grid GROUP BY pid),
+cells AS (
+  SELECT g.pid, g.n,
+         greatest(g.n / t.own_tot, 1e-6) AS p,
+         greatest(CASE WHEN t.rest_tot > 0
+                       THEN (g.gn - g.n) / t.rest_tot
+                       ELSE 0 END, 1e-6) AS q
+  FROM grid g JOIN tots t USING (pid)
+)
+SELECT pid AS partition_id,
+       round(sum((p - q) * ln(p / q)), 6) AS statistic,
+       CAST(sum(n) AS BIGINT) AS n,
+       (sum((p - q) * ln(p / q)) > 0.25) AS drifted
+FROM cells GROUP BY pid
+"""
+
+QUANTILE_COLUMNS = ["l_quantity", "l_extendedprice", "l_discount"]
+QUANTILE_PROBS = (0.5, 0.95, 0.99)
+
+
+def q_stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quantiles (p50/p95/p99) in one aggregation pass
+    (checks/stats.py column_quantiles). exact=True here so the oracle
+    can mirror it with ANSI quantile_cont — the production default is
+    the mergeable percentile_approx sketch (one sketch per column on
+    the shuffle, never rows), pinned against this exact path by
+    tests/test_checks.py."""
+    from perl_data_validate_sanctions_spark.checks.stats import (
+        column_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = column_quantiles(li, QUANTILE_COLUMNS,
+                           probabilities=QUANTILE_PROBS, exact=True)
+    return res.select(
+        "column", "p", F.round("value", 6).alias("value")
+    )
+
+
+def _stats_quantiles_oracle() -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\", {p} AS p, "
+        f"round(quantile_cont(CAST({c} AS DOUBLE), {p}), 6) AS value "
+        f"FROM lineitem"
+        for c in QUANTILE_COLUMNS
+        for p in QUANTILE_PROBS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def q_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source canonical content hash (A5, Fetcher.pm:966-979 —
     order-insensitive sha256-of-sorted-row-hashes)."""
@@ -1761,6 +1844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "ann_topk": q_ann_topk,
         "drift_chi2_events": q_drift_chi2_events,
+        "drift_psi_events": q_drift_psi_events,
+        "stats_quantiles": q_stats_quantiles,
         "content_hash": q_content_hash,
         "content_hash_scalable": q_content_hash_scalable,
         "incremental_merge": q_incremental_merge,
@@ -1807,6 +1892,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": _EXACT_DUP_ORACLE,
         "ann_topk": _ANN_ORACLE,
         "drift_chi2_events": _DRIFT_ORACLE,
+        "drift_psi_events": _DRIFT_PSI_ORACLE,
+        "stats_quantiles": _stats_quantiles_oracle(),
         "content_hash": _CONTENT_HASH_ORACLE,
         "content_hash_scalable": _CONTENT_HASH_SCALABLE_ORACLE,
         "incremental_merge": _MERGE_ORACLE,

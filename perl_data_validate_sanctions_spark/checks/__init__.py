@@ -5,7 +5,7 @@ per-partition pass/fail verdicts — the engine generalization of the
 reference's per-source {updated, verified, error} bookkeeping
 (/root/reference/lib/Data/Validate/Sanctions.pm:59-82)."""
 
-from .stats import column_stats  # noqa: F401
+from .stats import column_quantiles, column_stats  # noqa: F401
 from .unique import duplicate_keys, uniqueness_violations  # noqa: F401
 from .referential import referential_violations  # noqa: F401
 from .drift import drift_check  # noqa: F401

@@ -37,15 +37,18 @@ def drift_check(
     partition_expr: Column,
     kind: str = "ks",
     alpha: float = 1e-6,
+    psi_threshold: float = 0.25,
 ) -> DataFrame:
     """Per-partition drift verdicts: (partition_id, column, kind,
     statistic, p_value, n, drifted).
 
     ``alpha`` defaults tight (1e-6): with millions of rows per partition
     even trivial wobbles are 'significant' at 0.05; drift detection at
-    scale wants effect-size-large deviations.
+    scale wants effect-size-large deviations. ``kind="psi"`` flags on
+    the statistic itself instead (``psi_threshold``, default the
+    industry major-shift band 0.25) — PSI is a divergence, not a test.
     """
-    if kind not in ("ks", "chi2"):
+    if kind not in ("ks", "chi2", "psi"):
         raise ValueError(kind)
 
     hist = (
@@ -55,7 +58,62 @@ def drift_check(
         .groupBy("partition_id", "value")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return drift_from_hist(hist, value_col, kind=kind, alpha=alpha)
+    return drift_from_hist(hist, value_col, kind=kind, alpha=alpha,
+                           psi_threshold=psi_threshold)
+
+
+# PSI's standard industry decision bands: < 0.1 stable, 0.1-0.25
+# moderate shift, > 0.25 major shift. The default flags at 0.25.
+PSI_THRESHOLD = 0.25
+# proportion floor for empty cells (the usual PSI smoothing — keeps
+# ln() finite when a value is absent from one side of the comparison)
+_PSI_EPS = 1e-6
+
+
+def _psi_from_grid(joined: DataFrame, value_col: str,
+                   threshold: float) -> DataFrame:
+    """Population Stability Index per partition vs the rest-of-table
+    holdout. PSI = Σ (p_own − p_rest)·ln(p_own / p_rest) over the value
+    bins — ALGEBRAIC over the histogram, so unlike KS (needs the sorted
+    CDF walk) and chi-square (kept Arrow-side for parity with its
+    scipy-shaped math) it never leaves the JVM: two HashAggregates over
+    histogram-sized data, no applyInPandas, no Python workers.
+
+    Zero-mass cells on either side are floored at ``_PSI_EPS`` (the
+    standard smoothing); a degenerate single-partition table (empty
+    holdout) floors every rest-proportion, yielding a large PSI — the
+    same "this holdout is meaningless" signal chi2's penalty term
+    gives. p_value is NULL: PSI is a divergence with decision bands,
+    not a test statistic."""
+    totals = joined.groupBy("partition_id").agg(
+        F.sum("n").alias("__own_tot"),
+        F.sum(F.col("n_global") - F.col("n")).alias("__rest_tot"),
+    )
+    cells = joined.join(F.broadcast(totals), "partition_id")
+    own_tot = F.col("__own_tot").cast("double")
+    rest_tot = F.col("__rest_tot").cast("double")
+    p_own = F.greatest(F.col("n").cast("double") / own_tot,
+                       F.lit(_PSI_EPS))
+    rest_n = (F.col("n_global") - F.col("n")).cast("double")
+    p_rest = F.greatest(
+        F.when(rest_tot > 0, rest_n / rest_tot).otherwise(F.lit(0.0)),
+        F.lit(_PSI_EPS),
+    )
+    term = (p_own - p_rest) * F.log(p_own / p_rest)
+    return (
+        cells.groupBy("partition_id")
+        .agg(F.sum(term).alias("statistic"),
+             F.sum("n").cast("long").alias("n"))
+        .select(
+            "partition_id",
+            F.lit(value_col).alias("column"),
+            F.lit("psi").alias("kind"),
+            F.col("statistic").cast("double").alias("statistic"),
+            F.lit(None).cast("double").alias("p_value"),
+            "n",
+            (F.col("statistic") > F.lit(float(threshold))).alias("drifted"),
+        )
+    )
 
 
 def drift_from_hist(
@@ -63,6 +121,7 @@ def drift_from_hist(
     value_col: str,
     kind: str = "ks",
     alpha: float = 1e-6,
+    psi_threshold: float = PSI_THRESHOLD,
 ) -> DataFrame:
     """Same verdicts from a prebuilt (partition_id, value, n) histogram —
     lets the runner feed several drift checks from one cube scan."""
@@ -79,6 +138,9 @@ def drift_from_hist(
     joined = grid.join(hist, ["partition_id", "value"], "left").fillna(
         0, ["n"]
     )
+
+    if kind == "psi":
+        return _psi_from_grid(joined, value_col, psi_threshold)
 
     col_name, knd, a = value_col, kind, alpha
 
@@ -123,9 +185,15 @@ def drift_violations(results: DataFrame) -> DataFrame:
             F.col("partition_id"),
             F.lit(None).cast("string").alias("image_id"),
             F.col("column"),
-            F.format_string(
-                "stat=%.4f p=%.3g n=%d", F.col("statistic"), F.col("p_value"),
-                F.col("n"),
+            F.when(
+                F.col("kind") == "psi",
+                F.format_string("psi=%.4f n=%d", F.col("statistic"),
+                                F.col("n")),
+            ).otherwise(
+                F.format_string(
+                    "stat=%.4f p=%.3g n=%d", F.col("statistic"),
+                    F.col("p_value"), F.col("n"),
+                )
             ).alias("detail"),
         )
         .to(VIOLATION_SCHEMA)

@@ -3,7 +3,10 @@
 min / max / null-count / null-fraction / approx-distinct (HyperLogLog++
 via ``approx_count_distinct``) for every requested column, computed as a
 single wide ``agg`` (one scan, one reduce) and unpivoted to long format
-with ``stack`` — still one job, no per-column scans.
+with ``stack`` — still one job, no per-column scans. ``column_quantiles``
+adds p50/p95/p99-style quantiles the same way (mergeable
+``percentile_approx`` sketches by default; exact ``percentile`` for
+oracle parity).
 
 ``bytes`` is excluded by default: stats must never force the payload
 column off disk (column-pruning discipline; at 100 TB the payload is
@@ -61,3 +64,48 @@ def column_stats(
         (F.col("n_nulls") / F.col("n_rows")).alias("null_fraction"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+def column_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probabilities: tuple[float, ...] = (0.5, 0.95, 0.99),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Long-format quantiles: (column, p, value) — every requested
+    column × probability in ONE aggregation pass (one scan, one
+    reduce), like ``column_stats``.
+
+    ``exact=False`` (the 100 TB default) uses ``percentile_approx`` —
+    a single-pass, mergeable quantile sketch whose partial aggregates
+    combine map-side exactly like a sum, so the shuffle carries one
+    sketch per column, never rows. ``exact=True`` uses ``percentile``
+    (sort-based exact linear interpolation, the same definition as
+    ANSI ``percentile_cont`` / DuckDB ``quantile_cont``) — for oracle
+    comparisons and small dimensions only; it materializes each
+    column's values per aggregation buffer, which is NOT the shape you
+    run over 10^12 rows."""
+    probs = [float(p) for p in probabilities]
+    if not columns or not probs:
+        raise ValueError("columns and probabilities must be non-empty")
+    arr = F.array(*[F.lit(p) for p in probs])
+    aggs = []
+    for c in columns:
+        col = F.col(c).cast("double")
+        fn = (F.percentile(col, arr) if exact
+              else F.percentile_approx(col, arr, F.lit(int(accuracy))))
+        aggs.append(fn.alias(f"__q_{c}"))
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(p).alias("p"),
+            F.col(f"__q_{c}")[i].cast("double").alias("value"),
+        )
+        for c in columns
+        for i, p in enumerate(probs)
+    ]
+    return wide.select(
+        F.explode(F.array(*rows)).alias("q")
+    ).select("q.column", "q.p", "q.value")

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from perl_data_validate_sanctions_spark.checks import (
+    column_quantiles,
     column_stats,
     drift_check,
     duplicate_keys,
@@ -285,3 +286,77 @@ def test_integrity_codec_unavailable_reason(spark):
     )
     # arbitrary junk stays a corruption-class detail, NOT codec_unavailable
     assert v["img-junk-000004"].startswith("undecodable payload")
+
+
+def test_drift_psi_flags_shifted_partition(spark):
+    """PSI flags the partition whose value mix departs from the
+    rest-of-table holdout, stays quiet on the stable ones, carries a
+    NULL p_value (a divergence, not a test), and matches the numpy
+    recomputation of its own definition exactly."""
+    import math
+
+    from perl_data_validate_sanctions_spark.checks.drift import (
+        _PSI_EPS,
+        drift_check,
+    )
+
+    rows = []
+    for pid in range(3):  # stable partitions: 60/40 a/b
+        rows += [(pid, "a")] * 60 + [(pid, "b")] * 40
+    rows += [(3, "a")] * 5 + [(3, "b")] * 95  # shifted partition
+    df = spark.createDataFrame(rows, "pid int, v string")
+    res = {r["partition_id"]: r
+           for r in drift_check(df, "v", F.col("pid"), kind="psi").collect()}
+    assert {p for p, r in res.items() if r["drifted"]} == {3}
+    for r in res.values():
+        assert r["kind"] == "psi" and r["p_value"] is None
+        assert r["n"] == 100
+
+    # exact-value pin for the shifted partition vs the definition
+    own = {"a": 5.0, "b": 95.0}
+    rest = {"a": 60.0 * 3, "b": 40.0 * 3}
+    psi = 0.0
+    for v in ("a", "b"):
+        p = max(own[v] / 100.0, _PSI_EPS)
+        q = max(rest[v] / 300.0, _PSI_EPS)
+        psi += (p - q) * math.log(p / q)
+    assert res[3]["statistic"] == pytest.approx(psi, rel=1e-12)
+
+
+def test_drift_psi_single_partition_degenerate(spark):
+    """One partition = whole table → empty holdout: every rest
+    proportion floors at eps, so PSI is large and the partition flags —
+    the 'this holdout is meaningless' signal, division-free under ANSI
+    (pinned like the chi2 degenerate case above)."""
+    df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "v string")
+    res = drift_check(df, "v", F.lit(0), kind="psi").collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r["n"] == 10 and r["drifted"] and r["statistic"] > 5.0
+
+
+def test_column_quantiles_exact_and_approx(spark):
+    """exact=True matches numpy's linear interpolation (the
+    quantile_cont definition the oracle uses); the default mergeable
+    percentile_approx sketch lands on a neighboring data value."""
+    import numpy as np
+
+    vals = [float(i) for i in range(100)]
+    df = spark.createDataFrame([(v, 2.0 * v) for v in vals], "x double, y double")
+    exact = {
+        (r["column"], r["p"]): r["value"]
+        for r in column_quantiles(df, ["x", "y"], exact=True).collect()
+    }
+    for c, mult in (("x", 1.0), ("y", 2.0)):
+        for p in (0.5, 0.95, 0.99):
+            want = float(np.percentile(np.array(vals) * mult, p * 100))
+            assert exact[(c, p)] == pytest.approx(want, rel=1e-12)
+    approx = {
+        (r["column"], r["p"]): r["value"]
+        for r in column_quantiles(df, ["x"], exact=False).collect()
+    }
+    for p in (0.5, 0.95, 0.99):
+        assert abs(approx[("x", p)] - exact[("x", p)]) <= 1.5
+
+    with pytest.raises(ValueError):
+        column_quantiles(df, [])
