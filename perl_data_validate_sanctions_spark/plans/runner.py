@@ -44,6 +44,12 @@ DEFAULT_CHECKS = (
     "sanctioned",
 )
 
+# opt-in (not in DEFAULT_CHECKS, so the sink oracle's expected rollup
+# stays stable): PSI on the format mix — the band-based alternative to
+# drift_fmt's chi-square, fed from the SAME cube, so enabling it adds
+# no table scan. run_validation(checks=DEFAULT_CHECKS + ("drift_psi_fmt",))
+PSI_CHECK = "drift_psi_fmt"
+
 # captions look like "... in <Place>"; the trailing token is the
 # caption-side foreign key checked against the places dimension
 CAPTION_KEY_RE = r" in (\p{L}+)$"
@@ -266,8 +272,12 @@ def run_validation(
         # ONE piece/job — three separate jobs each paid driver latency; the
         # `check` column still distinguishes drift_w/h/fmt in the rollup.
         drift_pieces: list[DataFrame] = []
-        for col, kind in (("w", "ks"), ("h", "ks"), ("fmt", "chi2")):
-            name = f"drift_{col}"
+        for col, kind, name in (
+            ("w", "ks", "drift_w"),
+            ("h", "ks", "drift_h"),
+            ("fmt", "chi2", "drift_fmt"),
+            ("fmt", "psi", PSI_CHECK),
+        ):
             if name in checks:
                 hist = (
                     _cube().filter(F.col(col).isNotNull())
@@ -275,7 +285,7 @@ def run_validation(
                     .agg(F.sum("n").alias("n"))
                 )
                 res = drift_from_hist(hist, col, kind=kind)
-                drift_results[col] = res
+                drift_results[col if kind != "psi" else f"{col}_psi"] = res
                 drift_pieces.append(drift_violations(res))
         if drift_pieces:
             fused = drift_pieces[0]

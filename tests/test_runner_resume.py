@@ -238,3 +238,26 @@ def test_auto_strategy_dispatch(spark, images, ref_dims, monkeypatch):
     runner.run_validation(small, entries=entries, checks=("sanctioned",),
                           with_stats=False, match_strategy="native")
     assert calls == ["arrow", "native", "native"]
+
+
+def test_runner_psi_opt_in_check(spark, images):
+    """The opt-in PSI drift check (plans/runner.py PSI_CHECK) rides the
+    SAME cube as the default drift branches — no extra table scan — and
+    lands in the rollup under check='drift_psi'. The synth fixture's
+    planted drift partitions skew the fmt mix, so PSI flags a superset
+    of nothing and a subset of all partitions (band 0.25)."""
+    from perl_data_validate_sanctions_spark.plans.runner import (
+        DEFAULT_CHECKS,
+        PSI_CHECK,
+    )
+
+    report = run_validation(
+        images,
+        checks=("drift_fmt", PSI_CHECK),
+    )
+    assert "fmt_psi" in report.drift_results
+    psi = report.drift_results["fmt_psi"].collect()
+    assert all(r["kind"] == "psi" and r["p_value"] is None for r in psi)
+    rollup = {r["check"] for r in report.violations.select("check").distinct().collect()}
+    assert rollup <= {"drift_chi2", "drift_psi"}
+    assert PSI_CHECK not in DEFAULT_CHECKS  # opt-in by design
