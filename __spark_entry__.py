@@ -1414,6 +1414,172 @@ def _webp_lossy_decode_features_oracle() -> str:
     )
 
 
+# pinned phash fixture: one row per payload kind the engine decodes
+# (synthetic PDVS1 clean + noisy, real PNG, baseline JPEG, VP8L
+# lossless, lossy VP8) so the hash query exercises EVERY codec leg
+PHASH_PARAMS = [
+    (f"ph-{kind}-{i:02d}", kind, (64, 48, 33)[i % 3], (48, 32, 24)[i % 3],
+     8800 + 37 * i + j * 1000)
+    for j, kind in enumerate(
+        ["synth", "synthnoise", "png", "jpeg", "vp8l", "vp8"])
+    for i in range(3)
+]
+
+
+def _phash_payload(kind: str, w: int, h: int, seed: int) -> bytes:
+    from perl_data_validate_sanctions_spark.sources import (
+        codec, jpeg, png, webp, webp_sys,
+    )
+
+    px = codec.render(seed, w, h)
+    if kind == "synth":
+        return f"PDVS1|png|{w}|{h}|{seed}|0".encode()
+    if kind == "synthnoise":
+        return f"PDVS1|png|{w}|{h}|{seed}|16".encode()
+    if kind == "png":
+        return png.encode_png_gray(px)
+    if kind == "jpeg":
+        return jpeg.encode_jpeg_gray(px, quality=95)
+    if kind == "vp8l":
+        return webp.encode_webp_gray(px)
+    return webp_sys.encode_lossy_gray(px, quality=95)
+
+
+def _phash_pixels(kind: str, w: int, h: int, seed: int):
+    """Driver-side decode of the SAME payload the query feeds Spark."""
+    from perl_data_validate_sanctions_spark.sources import codec
+
+    payload = _phash_payload(kind, w, h, seed)
+    if kind in ("synth", "synthnoise"):
+        _, _, _, px = codec.decode(payload)
+        return px
+    return codec.real_decode(payload)
+
+
+def _phash_ref(px) -> int:
+    """INDEPENDENT recompute of the pinned pHash definition
+    (operators/multimodal.py::phash_block docstring): area-mean resize
+    by explicit slice means (nearest-index upsample), direct-formula
+    DCT-II via two transposed tensordots, median of the 63 non-DC
+    coefficients, bit k = coef k > median. Different code path from the
+    engine's reduceat/einsum pipeline on purpose — a shared bug can't
+    hide."""
+    import numpy as np
+
+    t, blk = 32, 8
+    h, w = px.shape
+    img = np.empty((t, t), dtype=np.float64)
+    x = px.astype(np.float64)
+    rows = ([slice((r * h) // t, ((r + 1) * h) // t) for r in range(t)]
+            if h >= t else [slice((r * h) // t, (r * h) // t + 1)
+                            for r in range(t)])
+    cols = ([slice((c * w) // t, ((c + 1) * w) // t) for c in range(t)]
+            if w >= t else [slice((c * w) // t, (c * w) // t + 1)
+                            for c in range(t)])
+    for r, rs in enumerate(rows):
+        for c, cs in enumerate(cols):
+            img[r, c] = x[rs, cs].mean()
+    i = np.arange(t)
+    basis = np.cos(np.pi * np.outer(np.arange(t), 2 * i + 1) / (2 * t))
+    basis[0] *= np.sqrt(1.0 / t)
+    basis[1:] *= np.sqrt(2.0 / t)
+    coefs = np.tensordot(np.tensordot(img, basis, axes=([0], [1])),
+                         basis, axes=([0], [1]))
+    c64 = coefs[:blk, :blk].reshape(-1)
+    med = float(np.median(c64[1:]))
+    out = 0
+    for k, v in enumerate(c64):
+        if v > med:
+            out |= 1 << k
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def q_phash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hashes (classic 32×32-DCT pHash, 64 bits) over a
+    fixture spanning every decode leg — synthetic clean+noisy, real
+    PNG, baseline JPEG, VP8L and lossy VP8. The engine path is
+    operators/multimodal.py::compute_phash (batched mapInPandas decode
+    → vectorized reduceat/einsum hash); the oracle recomputes each hash
+    with an independently-coded implementation (_phash_ref) on a
+    driver-side decode of the same payloads."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        compute_phash,
+    )
+
+    rows = [
+        (rid, bytearray(_phash_payload(kind, w, h, seed)))
+        for rid, kind, w, h, seed in PHASH_PARAMS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return compute_phash(df)
+
+
+def _phash_64_oracle() -> str:
+    vals = [
+        f"('{rid}', CAST({_phash_ref(_phash_pixels(kind, w, h, seed))} "
+        "AS BIGINT))"
+        for rid, kind, w, h, seed in PHASH_PARAMS
+    ]
+    return (
+        "SELECT image_id, phash64 FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, phash64)"
+    )
+
+
+# pinned near-dup fixture: 8 base images each in a clean and an
+# amp-16-noise variant (planted near-dups, hamming ≤ 6 empirically 0-6)
+# plus 8 unrelated images (pairwise hamming ~25-40)
+PHASH_NEAR_DUP_PARAMS = (
+    [(f"phnd-base-{i}", "synth", 64, 48, 7100 + 97 * i) for i in range(8)]
+    + [(f"phnd-noisy-{i}", "synthnoise", 64, 48, 7100 + 97 * i)
+       for i in range(8)]
+    + [(f"phnd-other-{i}", "synth", 64, 48, 9900 + 131 * i)
+       for i in range(8)]
+)
+
+
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash — compute_phash
+    feeding the SAME pigeonhole-blocked hamming join as text SimHash
+    (operators/dedup.py::hamming_near_dup_pairs, exhaustive for
+    n_blocks = max_hamming+1, id-only candidates). The oracle is the
+    exhaustive driver-side recompute over the independently-coded
+    hashes — every planted (base, noisy) pair must surface and nothing
+    else comes close."""
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    rows = [
+        (rid, bytearray(_phash_payload(kind, w, h, seed)))
+        for rid, kind, w, h, seed in PHASH_NEAR_DUP_PARAMS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return phash_near_dup_pairs(df, max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _phash_near_dups_oracle() -> str:
+    hashes = {
+        rid: _phash_ref(_phash_pixels(kind, w, h, seed))
+        for rid, kind, w, h, seed in PHASH_NEAR_DUP_PARAMS
+    }
+    ids = sorted(hashes)
+    vals = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                vals.append(f"('{a}', '{b}', {d})")
+    return (
+        "SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming "
+        "FROM (VALUES " + ", ".join(vals)
+        + ") AS t(id_a, id_b, hamming)"
+    )
+
+
 # pinned video parameter set (id, seed, n_frames, fps): frames are the
 # deterministic codec renders, MJPEG-encoded at q95 into an AVI clip
 VIDEO_SAMPLE_PARAMS = [
@@ -1865,6 +2031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_sink": q_validate_sink,
         "webp_decode_features": q_webp_decode_features,
         "webp_lossy_decode_features": q_webp_lossy_decode_features,
+        "phash_64": q_phash_64,
+        "phash_near_dups": q_phash_near_dups,
     }
 
 
@@ -1919,6 +2087,8 @@ def oracle_sql() -> dict[str, str]:
         "real_decode_features": _real_decode_features_oracle(),
         "webp_decode_features": _webp_decode_features_oracle(),
         "webp_lossy_decode_features": _webp_lossy_decode_features_oracle(),
+        "phash_64": _phash_64_oracle(),
+        "phash_near_dups": _phash_near_dups_oracle(),
         # recomputes the suite's violation rollup straight from the
         # testdata tables; the Spark side reads it back from the WRITTEN
         # violations.parquet (the sink path under test)

@@ -433,14 +433,29 @@ def simhash_near_dup_pairs(
     Candidates carry only (id, id); signatures join back per candidate
     for the hamming verify. Each block-bucket is a shuffle key — hot
     buckets spread across ``n_blocks`` keys rather than one prefix."""
-    if n_blocks is None:
-        n_blocks = max_hamming + 1
-    if n_blocks > n_bits:
-        raise ValueError("n_blocks cannot exceed n_bits")
     sig = df.select(
         F.col(id_col).alias("id"),
         simhash64(text_col, n_bits=n_bits, token_hash=token_hash).alias("sig"),
     )
+    return hamming_near_dup_pairs(sig, max_hamming=max_hamming,
+                                  n_blocks=n_blocks, n_bits=n_bits)
+
+
+def hamming_near_dup_pairs(
+    sig: DataFrame,
+    max_hamming: int = 8,
+    n_blocks: int | None = None,
+    n_bits: int = 64,
+) -> DataFrame:
+    """The pigeonhole-blocked hamming join over ANY (id, sig) signature
+    table — the shared core of ``simhash_near_dup_pairs`` (text) and
+    ``operators/multimodal.py::phash_near_dup_pairs`` (images). Same
+    recall bound and shuffle shape as documented above: exhaustive for
+    ``n_blocks = max_hamming + 1``, candidates id-only."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks > n_bits:
+        raise ValueError("n_blocks cannot exceed n_bits")
     # block i covers bits [lo_i, lo_i+w_i): widths differ by ≤1 when
     # n_bits % n_blocks != 0
     base = n_bits // n_blocks

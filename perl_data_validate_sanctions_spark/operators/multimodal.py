@@ -335,3 +335,109 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.select("audio_id", "bytes").mapInPandas(
         run, AUDIO_FEATURE_SCHEMA
     )
+
+
+# --------------------------------------------------------- perceptual hash --
+
+PHASH_SIZE = 32       # resize target before the DCT
+PHASH_BLOCK = 8       # low-frequency block kept (8×8 → 64 bits)
+PHASH_SCHEMA = "image_id string, phash64 long"
+
+
+def _dct_basis(t: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix B (t×t): coefs = B @ x @ B.T."""
+    k = np.arange(t).reshape(t, 1)
+    i = np.arange(t).reshape(1, t)
+    b = np.cos(np.pi * (2 * i + 1) * k / (2 * t))
+    b[0] *= np.sqrt(1.0 / t)
+    b[1:] *= np.sqrt(2.0 / t)
+    return b
+
+
+_PHASH_BASIS = _dct_basis(PHASH_SIZE)
+
+
+def _area_resize_block(block: np.ndarray, t: int = PHASH_SIZE) -> np.ndarray:
+    """(n, h, w) → (n, t, t) float64 by integer-edge area mean per axis
+    (the buckets differ in size by ≤1 pixel); an axis SMALLER than t
+    upsamples by nearest-index instead (edges would repeat). Fully
+    vectorized across the n images of a decoded group block."""
+
+    def one_axis(x: np.ndarray, size: int, axis: int) -> np.ndarray:
+        if size >= t:
+            edges = (np.arange(t + 1) * size) // t
+            sums = np.add.reduceat(x, edges[:-1], axis=axis)
+            counts = np.diff(edges).astype(np.float64)
+            shape = [1, 1, 1]
+            shape[axis] = t
+            return sums / counts.reshape(shape)
+        idx = (np.arange(t) * size) // t
+        return np.take(x, idx, axis=axis)
+
+    x = block.astype(np.float64)
+    n, h, w = block.shape
+    x = one_axis(x, h, 1)
+    return one_axis(x, w, 2)
+
+
+def phash_block(block: np.ndarray) -> np.ndarray:
+    """64-bit perceptual hashes for a (n, h, w) uint8 pixel block.
+
+    The classic DCT pHash, with every choice pinned so two
+    implementations agree bit-for-bit: area-mean resize to 32×32
+    (nearest-index when upsampling), orthonormal 2-D DCT-II, keep the
+    top-left 8×8 low-frequency coefficients row-major, threshold EVERY
+    one of the 64 (DC included) against the median of the 63 non-DC
+    coefficients, bit k = coefficient k > median, bit 0 the LSB.
+    Returned as int64 (the Spark LongType two's-complement view of the
+    uint64 bit pattern)."""
+    x = _area_resize_block(block)
+    coefs = np.einsum("ki,nij,lj->nkl", _PHASH_BASIS, x, _PHASH_BASIS,
+                      optimize=True)
+    c = coefs[:, :PHASH_BLOCK, :PHASH_BLOCK].reshape(len(block), -1)
+    med = np.median(c[:, 1:], axis=1)
+    bits = (c > med[:, None]).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    return (bits * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
+def compute_phash(df: DataFrame) -> DataFrame:
+    """(image_id, phash64) for every decodable payload — same batched
+    decode as the other multimodal ops (``_decoded_blocks``: synthetic
+    groups render as one numpy block, real PNG/JPEG/WebP rows decode
+    per-row through the bundled codecs), then the DCT hash vectorizes
+    across each block. Undecodable rows are skipped (the integrity
+    check is where they get flagged). ReadSchema prunes to
+    image_id+bytes like the feature extractor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["image_id"].to_numpy(dtype=object)
+            out_ids: list = []
+            out_hash: list = []
+            for idxs, _w, _h, block in _decoded_blocks(pdf, "ph"):
+                hashes = phash_block(block)
+                out_ids.extend(ids[i] for i in idxs)
+                out_hash.extend(int(v) for v in hashes)
+            yield pd.DataFrame({"image_id": out_ids, "phash64": out_hash})
+
+    return df.select("image_id", "bytes").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash: ``compute_phash``
+    over the payloads, then the SAME pigeonhole-blocked hamming join as
+    text SimHash (operators/dedup.py::hamming_near_dup_pairs —
+    exhaustive for n_blocks = max_hamming+1, candidates carry only
+    (id, id)). Returns (id_a, id_b, hamming), id_a < id_b."""
+    from .dedup import hamming_near_dup_pairs
+
+    sig = compute_phash(df).select(
+        F.col("image_id").alias("id"), F.col("phash64").alias("sig")
+    )
+    return hamming_near_dup_pairs(sig, max_hamming=max_hamming,
+                                  n_blocks=n_blocks, n_bits=64)

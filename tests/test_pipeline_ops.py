@@ -424,3 +424,67 @@ def test_minhash_lazy_opt_out(spark, docs):
              minhash_lsh_pairs(uniq, threshold=0.5).collect()}
     assert {(r["id_a"], r["id_b"]) for r in lazy.collect()} == eager
     assert _n_cache_entries(spark) == before
+
+
+def test_phash_block_properties():
+    """Pinned pHash laws (no Spark): deterministic, noise-robust
+    (amp-16 variant stays within the near-dup band), discriminative
+    (unrelated images land far apart), and dimension-robust (smaller-
+    than-32 axes upsample by nearest-index without error)."""
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        phash_block,
+    )
+    from perl_data_validate_sanctions_spark.sources import codec
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    a = codec.render(4242, 64, 48)
+    noise = codec.noise_batch(
+        np.array([4242], dtype=np.uint64), 64 * 48, 16
+    ).reshape(48, 64)
+    b = np.clip(a.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    c = codec.render(31337, 64, 48)
+    ha, hb, hc = (int(v) for v in phash_block(np.stack([a, b, c])))
+    assert int(phash_block(np.stack([a]))[0]) == ha  # deterministic
+    assert ham(ha, hb) <= 6          # noisy variant is a near-dup
+    assert ham(ha, hc) > 12          # unrelated image is far
+    small = codec.render(7, 16, 12)  # upsample path
+    assert isinstance(int(phash_block(small.reshape(1, 12, 16))[0]), int)
+
+
+def test_phash_near_dups_through_spark(spark):
+    """compute_phash + the shared pigeonhole hamming join find exactly
+    the planted (clean, amp-16-noise) image pairs across payload kinds
+    (synthetic and real PNG) and nothing across unrelated images."""
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+    from perl_data_validate_sanctions_spark.sources import codec, png
+
+    rows = []
+    planted = set()
+    for i in range(6):
+        seed = 6000 + 211 * i
+        clean_id, noisy_id = f"pclean-{i}", f"pnoisy-{i}"
+        planted.add(tuple(sorted((clean_id, noisy_id))))
+        if i % 2 == 0:  # alternate payload kinds for the same pixels
+            blob = f"PDVS1|png|64|48|{seed}|0".encode()
+        else:
+            blob = png.encode_png_gray(codec.render(seed, 64, 48))
+        rows.append((clean_id, bytearray(blob)))
+        rows.append((noisy_id,
+                     bytearray(f"PDVS1|png|64|48|{seed}|16".encode())))
+    for i in range(6):
+        rows.append((f"pother-{i}",
+                     bytearray(f"PDVS1|png|64|48|{77000 + 313 * i}|0".encode())))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in phash_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert pairs == planted, pairs
