@@ -1527,6 +1527,56 @@ def _phash_64_oracle() -> str:
     )
 
 
+# planted phash-column corruption: image index → XOR mask applied to
+# the stored hash (1, 3 and 17 wrong bits)
+PHASH_COLUMN_FLIPS = {2: 1 << 7, 7: (1 << 3) | (1 << 40) | (1 << 63),
+                      11: (1 << 17) - 1}
+
+
+def q_phash_column_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash COLUMN integrity (checks/phash_check.py): recompute the
+    pHash from the payload and flag rows whose stored column disagrees.
+    The fixture stores the INDEPENDENTLY-coded reference hash
+    (_phash_ref) for clean rows — so the check passing also re-proves
+    engine ≡ reference bit-for-bit — and three planted corruptions (1,
+    3, 17 flipped bits); the oracle lists exactly those three violation
+    rows."""
+    from perl_data_validate_sanctions_spark.checks.phash_check import (
+        phash_column_violations,
+    )
+
+    rows = []
+    for i, (rid, kind, w, h, seed) in enumerate(PHASH_PARAMS):
+        stored = _phash_ref(_phash_pixels(kind, w, h, seed))
+        if i in PHASH_COLUMN_FLIPS:
+            u = (stored & ((1 << 64) - 1)) ^ PHASH_COLUMN_FLIPS[i]
+            stored = u - (1 << 64) if u >= (1 << 63) else u
+        rows.append((rid, bytearray(_phash_payload(kind, w, h, seed)),
+                     stored))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, phash long"
+    )
+    return phash_column_violations(df, F.lit(0)).select(
+        "image_id", "column", "detail"
+    )
+
+
+def _phash_column_check_oracle() -> str:
+    vals = []
+    for i, (rid, _kind, _w, _h, _seed) in enumerate(PHASH_PARAMS):
+        if i in PHASH_COLUMN_FLIPS:
+            nbits = bin(PHASH_COLUMN_FLIPS[i]).count("1")
+            vals.append(
+                f"('{rid}', 'phash', 'stored phash differs from "
+                f"recomputed by {nbits} bits')"
+            )
+    return (
+        "SELECT image_id, \"column\", detail FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, \"column\", detail)"
+    )
+
+
 # pinned near-dup fixture: 8 base images each in a clean and an
 # amp-16-noise variant (planted near-dups, hamming ≤ 6 empirically 0-6)
 # plus 8 unrelated images (pairwise hamming ~25-40)
@@ -2033,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_lossy_decode_features": q_webp_lossy_decode_features,
         "phash_64": q_phash_64,
         "phash_near_dups": q_phash_near_dups,
+        "phash_column_check": q_phash_column_check,
     }
 
 
@@ -2089,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "webp_lossy_decode_features": _webp_lossy_decode_features_oracle(),
         "phash_64": _phash_64_oracle(),
         "phash_near_dups": _phash_near_dups_oracle(),
+        "phash_column_check": _phash_column_check_oracle(),
         # recomputes the suite's violation rollup straight from the
         # testdata tables; the Spark side reads it back from the WRITTEN
         # violations.parquet (the sink path under test)

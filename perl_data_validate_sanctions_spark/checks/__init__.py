@@ -7,6 +7,7 @@ reference's per-source {updated, verified, error} bookkeeping
 
 from .stats import column_quantiles, column_stats  # noqa: F401
 from .unique import duplicate_keys, uniqueness_violations  # noqa: F401
+from .phash_check import phash_column_violations  # noqa: F401
 from .referential import referential_violations  # noqa: F401
 from .drift import drift_check  # noqa: F401
 from .integrity import integrity_violations  # noqa: F401

@@ -360,3 +360,41 @@ def test_column_quantiles_exact_and_approx(spark):
 
     with pytest.raises(ValueError):
         column_quantiles(df, [])
+
+
+def test_phash_column_violations(spark):
+    """The phash-column check flags only rows whose stored hash differs
+    from the recomputed one beyond the band; an undecodable payload is
+    SKIPPED (integrity flags those), never double-reported."""
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.checks import (
+        phash_column_violations,
+    )
+    from perl_data_validate_sanctions_spark.operators.multimodal import (
+        phash_block,
+    )
+
+    def correct_hash(seed):
+        return int(phash_block(
+            codec.render(seed, 64, 48).reshape(1, 48, 64))[0])
+
+    rows = [
+        (f"phc-ok-{i}", bytearray(f"PDVS1|png|64|48|{5000 + i}|0".encode()),
+         correct_hash(5000 + i))
+        for i in range(4)
+    ]
+    rows.append(("phc-bad-1",
+                 bytearray(b"PDVS1|png|64|48|6000|0"),
+                 correct_hash(6000) ^ (1 << 5)))
+    rows.append(("phc-undec",
+                 bytearray(b"not an image"),
+                 12345))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, phash long"
+    )
+    v = phash_column_violations(df, F.lit(0)).collect()
+    assert {r["image_id"] for r in v} == {"phc-bad-1"}
+    assert v[0]["detail"] == "stored phash differs from recomputed by 1 bits"
+    # a one-bit tolerance band clears it
+    assert phash_column_violations(df, F.lit(0), max_hamming=1).count() == 0
