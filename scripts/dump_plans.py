@@ -114,6 +114,23 @@ def main() -> None:
             ).extract_audio_features(
                 images.select(F.col("image_id").alias("audio_id"), "bytes")
             ),
+        "psi drift (algebraic over the histogram: all HashAggregate, "
+        "broadcast grid, NO applyInPandas — contrast the KS/chi2 "
+        "sections' Arrow stage)":
+            __import__(
+                "perl_data_validate_sanctions_spark.checks.drift",
+                fromlist=["drift_check"],
+            ).drift_check(
+                images, "fmt",
+                F.pmod(F.xxhash64("image_id"), F.lit(16)), kind="psi",
+            ),
+        "phash_near_dup_pairs (ReadSchema pruned to id+bytes, "
+        "pigeonhole block explode carries only (id, blk, val), "
+        "hamming verify joins signatures back per candidate)":
+            __import__(
+                "perl_data_validate_sanctions_spark.operators.multimodal",
+                fromlist=["phash_near_dup_pairs"],
+            ).phash_near_dup_pairs(images, max_hamming=6),
     }
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
