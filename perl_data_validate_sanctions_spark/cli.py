@@ -60,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
              "bin/update_sanctions_csv writes a file, not stdout)",
     )
     p_val.add_argument(
+        "--extra-checks", default=None,
+        help="comma-separated opt-in checks appended to the default "
+             "suite (currently: drift_psi_fmt — PSI on the format mix, "
+             "fed from the same cube scan as the default drift "
+             "branches, so it adds no table scan)",
+    )
+    p_val.add_argument(
         "--match-strategy", choices=("auto", "native", "arrow"),
         default="auto",
         help="caption-match path (auto: the SCALING.md crossover rule — "
@@ -149,6 +156,14 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--sink-dir applies to the plain validate path; "
                     "checkpointed runs already persist per-partition "
                     "lineage under --checkpoint")
+        from .plans.runner import DEFAULT_CHECKS
+
+        checks = DEFAULT_CHECKS
+        if args.extra_checks:
+            checks = checks + tuple(
+                c.strip() for c in args.extra_checks.split(",")
+                if c.strip()
+            )
         if args.checkpoint:
             from .streaming.checkpoint import CheckpointStore, run_with_resume
 
@@ -159,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
                 run_id=args.run_id,
                 entries=entries,
                 ref_keys=ref_keys,
+                checks=checks,
                 match_strategy=args.match_strategy,
             )
             rows = lineage.orderBy("partition_id").collect()
@@ -178,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
                 images,
                 entries=entries,
                 ref_keys=ref_keys,
+                checks=checks,
                 match_strategy=args.match_strategy,
                 sink_dir=args.sink_dir,
             )

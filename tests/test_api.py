@@ -224,3 +224,19 @@ def test_cli_validate_sink_dir(spark, tmp_path_factory, capsys):
         os.path.join(sink, "partition_verdicts.parquet")
     )
     assert out["n_rows"] == sum(r["n_rows"] for r in verd.collect())
+
+
+def test_cli_validate_extra_checks_psi(capsys):
+    """`validate --extra-checks drift_psi_fmt` appends the opt-in PSI
+    check to the default suite from the production CLI surface; its
+    violations land in the rollup under drift_psi."""
+    import json
+
+    from perl_data_validate_sanctions_spark.cli import main
+
+    argv = ["validate", "--synth-rows", "8000",
+            "--extra-checks", "drift_psi_fmt"]
+    assert main(argv) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "drift_psi" in out["violations_by_check"], out
+    assert out["violations_by_check"]["drift_psi"] >= 1
