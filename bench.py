@@ -683,6 +683,56 @@ def main() -> None:
             ).count()
         timings["dedup_suite_shared"] = round(time.time() - t0, 3)
 
+        # image-side dedup: pHash near-dups over 150k payloads — the
+        # decode is the batched mapInPandas path, the hash a vectorized
+        # 32×32-DCT per block, the join the shared pigeonhole hamming
+        # core (id-only candidates). Planted: every 500th image is an
+        # amp-8 noisy variant of its predecessor (worst hamming over
+        # all 299 planted pairs measured at exactly 6 — inside the
+        # band), so the count asserts recall, not just wall time.
+        from perl_data_validate_sanctions_spark.operators.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        n_ph = 150_000
+        ph_path = f"{cache_dir}/phash_dedup_{n_ph}.parquet"
+        if not os.path.isdir(ph_path):
+            import pandas as _pd
+
+            def _ph_rows(batches):
+                for pdf in batches:
+                    rows = []
+                    for iid in pdf["image_id"]:
+                        num = _id_num(iid)
+                        planted = num % 500 == 0 and num > 0
+                        seed = 40_000 + (num - 1 if planted else num)
+                        amp = 8 if planted else 0
+                        rows.append(
+                            (iid, f"PDVS1|png|64|48|{seed}|{amp}".encode())
+                        )
+                    yield _pd.DataFrame(
+                        rows, columns=["image_id", "bytes"]
+                    )
+
+            (
+                spark.range(n_ph)
+                .repartition(32)
+                .select(F.format_string("phd-%09d", "id").alias("image_id"))
+                .mapInPandas(_ph_rows, "image_id string, bytes binary")
+                .write.mode("overwrite")
+                .parquet(ph_path)
+            )
+        ph_df = spark.read.parquet(ph_path)
+        t0 = time.time()
+        n_pairs = phash_near_dup_pairs(ph_df, max_hamming=6).count()
+        timings["phash_dedup_150k"] = round(time.time() - t0, 3)
+        # every planted (clean, noisy) pair must be found (299 = ids
+        # 500..149500; id 0 has no predecessor); unrelated seeds may
+        # occasionally collide under hamming 6, so >= not ==
+        assert n_pairs >= (n_ph - 1) // 500, \
+            f"planted pair recall: {n_pairs}"
+        timings["phash_dedup_150k_pairs"] = n_pairs
+
         # single-node reference-shape proxy: the reference is a single-
         # threaded in-process engine (in-memory inverted token index +
         # per-probe loop, Sanctions.pm:253-315); _MatcherIndex reproduces

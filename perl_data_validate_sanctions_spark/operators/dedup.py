@@ -408,6 +408,79 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def signature_block_cols(
+    sig: Column, n_blocks: int, n_bits: int = 64
+) -> list[Column]:
+    """The pigeonhole bit-slices of a signature as ``struct(blk, val)``
+    Columns — block i covers bits [lo_i, lo_i+w_i), widths differing by
+    ≤1 when ``n_bits % n_blocks != 0``. Shared by the batch hamming
+    join below and the streaming near-dup operator
+    (streaming/stateful_dedup.py) so both sides bucket identically."""
+    if n_blocks > n_bits:
+        raise ValueError("n_blocks cannot exceed n_bits")
+    base = n_bits // n_blocks
+    extra = n_bits % n_blocks
+    blocks = []
+    lo = 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        mask = ((1 << w) - 1) if w < 64 else -1
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(sig, lo).bitwiseAND(
+                    F.lit(mask)
+                ).alias("val"),
+            )
+        )
+        lo += w
+    return blocks
+
+
+def signature_block_combo_cols(
+    sig: Column, n_blocks: int, s: int = 1, n_bits: int = 64
+) -> list[Column]:
+    """``struct(blk, val)`` Columns for every s-combination of the
+    pigeonhole blocks — ``blk`` numbers the combination, ``val``
+    concatenates the member blocks' bit-slices (total width s·n_bits/
+    n_blocks ≤ 64 enforced). ``s=1`` degenerates to
+    ``signature_block_cols``. See ``hamming_near_dup_pairs`` for the
+    exhaustiveness bound and the key-width scale rule."""
+    from itertools import combinations
+
+    if s < 1 or s > n_blocks:
+        raise ValueError("s must be in [1, n_blocks]")
+    if s == 1:
+        return signature_block_cols(sig, n_blocks, n_bits)
+    if n_blocks > n_bits:
+        raise ValueError("n_blocks cannot exceed n_bits")
+    base = n_bits // n_blocks
+    extra = n_bits % n_blocks
+    widths, los = [], []
+    lo = 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        widths.append(w)
+        los.append(lo)
+        lo += w
+    # widest possible combo must still fit one long
+    if sum(sorted(widths)[-s:]) > 63:
+        raise ValueError("combined block key exceeds 63 bits — lower s")
+    out = []
+    for ci, combo in enumerate(combinations(range(n_blocks), s)):
+        val = F.lit(0).cast("long")
+        for i in combo:
+            mask = ((1 << widths[i]) - 1)
+            piece = F.shiftrightunsigned(sig, los[i]).bitwiseAND(
+                F.lit(mask)
+            )
+            val = F.shiftleft(val, widths[i]).bitwiseOR(piece)
+        out.append(
+            F.struct(F.lit(ci).alias("blk"), val.alias("val"))
+        )
+    return out
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -446,34 +519,28 @@ def hamming_near_dup_pairs(
     max_hamming: int = 8,
     n_blocks: int | None = None,
     n_bits: int = 64,
+    s: int = 1,
 ) -> DataFrame:
     """The pigeonhole-blocked hamming join over ANY (id, sig) signature
     table — the shared core of ``simhash_near_dup_pairs`` (text) and
-    ``operators/multimodal.py::phash_near_dup_pairs`` (images). Same
-    recall bound and shuffle shape as documented above: exhaustive for
-    ``n_blocks = max_hamming + 1``, candidates id-only."""
+    ``operators/multimodal.py::phash_near_dup_pairs`` (images).
+
+    ``s`` generalizes the pigeonhole (multi-index hashing, Norouzi et
+    al.): with ``k = max_hamming + s`` blocks, ≤ max_hamming errors
+    touch ≤ max_hamming blocks, so ≥ s blocks are UNTOUCHED and the
+    concatenation of any s untouched blocks matches exactly — keying
+    every C(k, s) s-combination stays EXHAUSTIVE while the bucket key
+    widens from n_bits/k to s·n_bits/k bits. That width is the scale
+    dial: s=1 gives 64/(h+1) ≈ 9-bit keys (≤1024 buckets — quadratic
+    blowup beyond ~10k rows: measured 134 s for the join at 150k
+    images), s=2 gives 16-bit keys (65k buckets — the same join runs
+    in seconds). Pick s so s·n_bits/k ≳ log2(n_rows); the explode cost
+    is C(k, s) rows per id (7 → 28 for h=6, s=1 → 2)."""
     if n_blocks is None:
-        n_blocks = max_hamming + 1
-    if n_blocks > n_bits:
-        raise ValueError("n_blocks cannot exceed n_bits")
-    # block i covers bits [lo_i, lo_i+w_i): widths differ by ≤1 when
-    # n_bits % n_blocks != 0
-    base = n_bits // n_blocks
-    extra = n_bits % n_blocks
-    blocks = []
-    lo = 0
-    for i in range(n_blocks):
-        w = base + (1 if i < extra else 0)
-        mask = ((1 << w) - 1) if w < 64 else -1
-        blocks.append(
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("sig"), lo).bitwiseAND(
-                    F.lit(mask)
-                ).alias("val"),
-            )
-        )
-        lo += w
+        n_blocks = max_hamming + int(s)
+    blocks = signature_block_combo_cols(
+        F.col("sig"), n_blocks, s=int(s), n_bits=n_bits
+    )
     blocked = sig.select(
         "id", F.explode(F.array(*blocks)).alias("bb")
     ).select("id", "bb.blk", "bb.val")

@@ -144,3 +144,67 @@ def test_stateful_stream_dedup(spark, tmp_path_factory):
     } - expected1
     assert seen2 == expected_new
     assert seen2 and not (seen2 & seen1)
+
+
+def test_stream_phash_near_dup_flags(spark, tmp_path_factory):
+    """Cross-batch image NEAR-dup detection: a noisy variant arriving
+    in a LATER micro-batch is flagged against the clean image seen in
+    an earlier one (pigeonhole state per block bucket); unrelated
+    images are never flagged. Restart replays stay idempotent via the
+    known-id skip."""
+    import numpy as np  # noqa: F401
+
+    from perl_data_validate_sanctions_spark.streaming.stateful_dedup import (
+        stream_phash_near_dup_flags,
+    )
+
+    base = tmp_path_factory.mktemp("sphash")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+    out_dir = str(base / "out")
+    schema = "image_id string, bytes binary"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stream_phash_near_dup_flags(stream, max_hamming=6)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        try:
+            return {
+                (r["image_id"], r["matched_id"])
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            return set()
+
+    def payload(seed, amp):
+        return bytearray(f"PDVS1|png|64|48|{seed}|{amp}".encode())
+
+    # batch 1: clean originals only
+    first = [(f"spc-{i}", payload(52000 + 307 * i, 0)) for i in range(5)]
+    spark.createDataFrame(first, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    assert run_once() == set()  # nothing to match yet
+
+    # batch 2: amp-8 noisy variants of two originals + one unrelated
+    second = [
+        ("spc-noisy-0", payload(52000, 8)),
+        ("spc-noisy-3", payload(52000 + 307 * 3, 8)),
+        ("spc-unrelated", payload(99991, 0)),
+    ]
+    spark.createDataFrame(second, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    pairs = run_once()
+    assert ("spc-noisy-0", "spc-0") in pairs, pairs
+    assert ("spc-noisy-3", "spc-3") in pairs, pairs
+    flagged = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert "spc-unrelated" not in flagged

@@ -488,3 +488,37 @@ def test_phash_near_dups_through_spark(spark):
         for r in phash_near_dup_pairs(df, max_hamming=6).collect()
     }
     assert pairs == planted, pairs
+
+
+def test_combo_blocking_matches_plain_pigeonhole(spark):
+    """s=2 combination blocking (16-bit keys) returns EXACTLY the same
+    pair set as the s=1 pigeonhole on random signatures — both are
+    exhaustive, so any divergence is a bucketing bug."""
+    import random
+
+    from perl_data_validate_sanctions_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    rng = random.Random(99)
+    base = [rng.getrandbits(64) for _ in range(40)]
+    sigs = list(base)
+    for b in base[:15]:  # planted: flip 1-6 random bits
+        v = b
+        for _ in range(rng.randint(1, 6)):
+            v ^= 1 << rng.randrange(64)
+        sigs.append(v)
+
+    def to_long(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    sig = spark.createDataFrame(
+        [(f"s-{i:03d}", to_long(v)) for i, v in enumerate(sigs)],
+        "id string, sig long",
+    )
+    pairs = lambda s: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(sig, max_hamming=6, s=s).collect()
+    }
+    p1, p2 = pairs(1), pairs(2)
+    assert p1 == p2 and len(p1) >= 10, (len(p1), len(p2))
