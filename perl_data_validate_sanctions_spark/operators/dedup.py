@@ -489,6 +489,7 @@ def simhash_near_dup_pairs(
     n_blocks: int | None = None,
     n_bits: int = 64,
     token_hash=None,
+    s: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole blocking: the signature
     is split into ``n_blocks`` disjoint bit ranges and a pair becomes a
@@ -502,6 +503,8 @@ def simhash_near_dup_pairs(
     candidate count: bigger blocks = more selective buckets but pairs
     with every block touched are missed (the standard HmSearch /
     Charikar-dedup block trade, documented for callers who tune it).
+    ``s`` > 1 switches to the C(k, s) combination keys — exhaustive AND
+    more selective; see ``hamming_near_dup_pairs`` for the scale rule.
 
     Candidates carry only (id, id); signatures join back per candidate
     for the hamming verify. Each block-bucket is a shuffle key — hot
@@ -511,7 +514,7 @@ def simhash_near_dup_pairs(
         simhash64(text_col, n_bits=n_bits, token_hash=token_hash).alias("sig"),
     )
     return hamming_near_dup_pairs(sig, max_hamming=max_hamming,
-                                  n_blocks=n_blocks, n_bits=n_bits)
+                                  n_blocks=n_blocks, n_bits=n_bits, s=s)
 
 
 def hamming_near_dup_pairs(
