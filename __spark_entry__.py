@@ -669,6 +669,52 @@ SELECT pid AS partition_id,
 FROM cells GROUP BY pid
 """
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-dimensional drift: per-partition mean-embedding cosine vs
+    the rest-of-table mean (checks/drift.py::embedding_drift_check —
+    posexplode + two HashAggregates, shuffle carries |partitions|×dim
+    rows, JVM-native throughout). The oracle recomputes the full
+    definition in SQL via UNNEST WITH ORDINALITY."""
+    from perl_data_validate_sanctions_spark.checks.drift import (
+        embedding_drift_check,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = embedding_drift_check(
+        emb, "embedding", F.pmod(F.col("vec_id"), F.lit(7))
+    )
+    return res.select(
+        "partition_id", F.round("statistic", 6).alias("statistic"), "n",
+        "drifted",
+    )
+
+
+_EMBEDDING_DRIFT_ORACLE = """
+WITH e AS (
+  SELECT CAST(vec_id % 7 AS INT) AS pid,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+),
+per AS (SELECT pid, d, sum(x) AS sx, count(*) AS n FROM e GROUP BY 1, 2),
+gtot AS (SELECT d, sum(sx) AS gx, sum(n) AS gn FROM per GROUP BY d),
+m AS (
+  SELECT pid, n, sx / n AS mo,
+         CASE WHEN gn - n > 0 THEN (gx - sx) / (gn - n)
+              ELSE 0 END AS mr
+  FROM per JOIN gtot USING (d)
+)
+SELECT pid AS partition_id,
+       round(CASE WHEN sqrt(sum(mo*mo)) * sqrt(sum(mr*mr)) > 0
+             THEN sum(mo*mr) / (sqrt(sum(mo*mo)) * sqrt(sum(mr*mr)))
+             ELSE 0 END, 6) AS statistic,
+       CAST(max(n) AS BIGINT) AS n,
+       (CASE WHEN sqrt(sum(mo*mo)) * sqrt(sum(mr*mr)) > 0
+             THEN sum(mo*mr) / (sqrt(sum(mo*mo)) * sqrt(sum(mr*mr)))
+             ELSE 0 END < 0.5) AS drifted
+FROM m GROUP BY pid
+"""
+
 QUANTILE_COLUMNS = ["l_quantity", "l_extendedprice", "l_discount"]
 QUANTILE_PROBS = (0.5, 0.95, 0.99)
 
@@ -2061,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "drift_chi2_events": q_drift_chi2_events,
         "drift_psi_events": q_drift_psi_events,
+        "embedding_drift": q_embedding_drift,
         "stats_quantiles": q_stats_quantiles,
         "content_hash": q_content_hash,
         "content_hash_scalable": q_content_hash_scalable,
@@ -2112,6 +2159,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_ORACLE,
         "drift_chi2_events": _DRIFT_ORACLE,
         "drift_psi_events": _DRIFT_PSI_ORACLE,
+        "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "stats_quantiles": _stats_quantiles_oracle(),
         "content_hash": _CONTENT_HASH_ORACLE,
         "content_hash_scalable": _CONTENT_HASH_SCALABLE_ORACLE,

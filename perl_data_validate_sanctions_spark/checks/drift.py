@@ -198,3 +198,75 @@ def drift_violations(results: DataFrame) -> DataFrame:
         )
         .to(VIOLATION_SCHEMA)
     )
+
+
+# ----------------------------------------------------- embedding drift ------
+
+EMBEDDING_COSINE_THRESHOLD = 0.5
+
+
+def embedding_drift_check(
+    df: DataFrame,
+    vec_col: str,
+    partition_expr,
+    threshold: float = EMBEDDING_COSINE_THRESHOLD,
+) -> DataFrame:
+    """Distribution drift for HIGH-DIMENSIONAL columns: per partition,
+    the cosine similarity between the partition's mean embedding and
+    the rest-of-table mean (the same unbiased holdout as the scalar
+    drift checks). A partition whose centroid points away from the
+    corpus centroid (cosine < threshold) is drifted — the standard
+    cheap screen for "this shard came from a different embedding model
+    / corpus slice".
+
+    Scale shape (the IVF mini-kmeans trick, similarity.py:232):
+    posexplode to (partition, dim, component) then TWO HashAggregates —
+    the shuffle carries |partitions| × dim rows, never embeddings; all
+    math is JVM-native Columns (components cast to double so the
+    oracle's accumulation matches bit-for-bit after rounding). p_value
+    is NULL — like PSI, a divergence with a band, not a test."""
+    base = df.select(
+        partition_expr.cast("int").alias("partition_id"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).select("partition_id", "d", F.col("x").cast("double").alias("x"))
+    per = base.groupBy("partition_id", "d").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    glob = per.groupBy("d").agg(
+        F.sum("sx").alias("gx"), F.sum("n").alias("gn")
+    )
+    j = per.join(F.broadcast(glob), "d")
+    mo = F.col("sx") / F.col("n")
+    rest_n = F.col("gn") - F.col("n")
+    mr = F.when(rest_n > 0,
+                (F.col("gx") - F.col("sx")) / rest_n).otherwise(F.lit(0.0))
+    cells = j.select(
+        "partition_id",
+        (mo * mr).alias("__dot"),
+        (mo * mo).alias("__no"),
+        (mr * mr).alias("__nr"),
+        F.col("n").alias("__n"),
+    )
+    denom = F.sqrt(F.col("no_sum")) * F.sqrt(F.col("nr_sum"))
+    return (
+        cells.groupBy("partition_id")
+        .agg(
+            F.sum("__dot").alias("dot_sum"),
+            F.sum("__no").alias("no_sum"),
+            F.sum("__nr").alias("nr_sum"),
+            F.max("__n").cast("long").alias("n"),
+        )
+        .select(
+            "partition_id",
+            F.lit(vec_col).alias("column"),
+            F.lit("embedding_cosine").alias("kind"),
+            F.when(denom > 0, F.col("dot_sum") / denom)
+            .otherwise(F.lit(0.0)).alias("statistic"),
+            F.lit(None).cast("double").alias("p_value"),
+            "n",
+            (
+                F.when(denom > 0, F.col("dot_sum") / denom)
+                .otherwise(F.lit(0.0)) < F.lit(float(threshold))
+            ).alias("drifted"),
+        )
+    )

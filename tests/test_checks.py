@@ -398,3 +398,34 @@ def test_phash_column_violations(spark):
     assert v[0]["detail"] == "stored phash differs from recomputed by 1 bits"
     # a one-bit tolerance band clears it
     assert phash_column_violations(df, F.lit(0), max_hamming=1).count() == 0
+
+
+def test_embedding_drift_check(spark):
+    """The mean-embedding cosine screen flags a partition whose vectors
+    point AWAY from the corpus (planted: negated embeddings ⇒ cosine vs
+    the rest ≈ -1) and passes partitions drawn from the same
+    distribution; p_value is NULL (a banded divergence, like PSI)."""
+    import numpy as np
+
+    from perl_data_validate_sanctions_spark.checks.drift import (
+        embedding_drift_check,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(1.0, 0.05, size=(90, 8))  # strongly aligned corpus
+    rows = []
+    for i, v in enumerate(base):
+        pid = i % 3  # partitions 0-2: same distribution
+        rows.append((pid, [float(x) for x in v]))
+    for i in range(30):  # partition 3: negated ⇒ centroid flipped
+        rows.append((3, [float(-x) for x in base[i]]))
+    df = spark.createDataFrame(rows, "pid int, embedding array<float>")
+    res = {r["partition_id"]: r for r in embedding_drift_check(
+        df, "embedding", F.col("pid")).collect()}
+    assert {p for p, r in res.items() if r["drifted"]} == {3}
+    assert res[3]["statistic"] < -0.9
+    for p in (0, 1, 2):
+        assert res[p]["statistic"] > 0.9
+        assert res[p]["p_value"] is None
+        assert res[p]["kind"] == "embedding_cosine"
+    assert res[3]["n"] == 30 and res[0]["n"] == 30
