@@ -128,17 +128,23 @@ def build_mixed_images(spark, n_rows: int, cache_dir: str,
     no CRC, so a mid-stream flip may decode; truncation is the
     deterministic corruption for a lossy bitstream).
 
-    WebP-lossless (sources/webp.py) is deliberately NOT mixed into
-    this fixture: the flagship number stays round-over-round
-    comparable (the r4->r5 fixture change already broke one
-    comparison), and the VP8L pure-Python entropy decode at ~4 ms per
-    image would dominate the suite wall at a 5% share. The webp leg
-    is benched separately as integrity_webp_real_decode_5k."""
+    Lossy WebP (VP8 via the system libwebp, sources/webp_sys.py) joins
+    the mix at the same ~5% share when the library is loadable
+    (truncation-planted like JPEG; q95 PSNR floor measured 44.75 dB
+    over 6.2k reference images — 4.75 dB above the gate, so no false
+    violations). WebP-LOSSLESS (sources/webp.py) remains deliberately
+    NOT mixed: its pure-Python entropy decode at ~4 ms per image would
+    dominate the suite wall at a 5% share; that leg is benched
+    separately as integrity_webp_real_decode_5k."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
-    path = f"{cache_dir}/images_mixed_{n_rows}_{real_mod}pj.parquet"
+    from perl_data_validate_sanctions_spark.sources import webp_sys
+
+    with_webp = webp_sys.available()
+    tag = "pjw" if with_webp else "pj"
+    path = f"{cache_dir}/images_mixed_{n_rows}_{real_mod}{tag}.parquet"
     if not os.path.isdir(path):
         from perl_data_validate_sanctions_spark.sources import (
             codec, jpeg, png,
@@ -149,7 +155,8 @@ def build_mixed_images(spark, n_rows: int, cache_dir: str,
 
         base = synth_images(spark, n_rows, num_partitions=64)
         residue = F.pmod(F.xxhash64("image_id"), F.lit(real_mod))
-        is_real = residue <= 1  # 0 → png, 1 → jpeg
+        # 0 → png, 1 → jpeg, 2 → lossy webp (libwebp machines only)
+        is_real = residue <= (2 if with_webp else 1)
         W, H = 64, 48
 
         def enc(batches):
@@ -166,13 +173,20 @@ def build_mixed_images(spark, n_rows: int, cache_dir: str,
                         if planted:
                             blob[len(blob) // 2] ^= 0xFF
                         fmt = "png"
-                    else:
+                    elif int(res) == 1:
                         blob = bytearray(
                             jpeg.encode_jpeg_gray(ref, quality=95)
                         )
                         if planted:
                             del blob[-10:]
                         fmt = "jpeg"
+                    else:
+                        blob = bytearray(
+                            webp_sys.encode_lossy_gray(ref, quality=95)
+                        )
+                        if planted:
+                            del blob[-15:]
+                        fmt = "webp"
                     rows.append(
                         (iid, bytes(blob), W, H, fmt,
                          None if cap is None else cap,
@@ -534,8 +548,9 @@ def main() -> None:
     suite_only = os.environ.get("PDVS_BENCH_SUITE_ONLY") == "1"
 
     # headline-suite fixture: ~5% REAL PNG + ~5% REAL baseline-JPEG
-    # payloads (round-5 task: the flagship number must exercise the
-    # sniff + both stdlib-decode paths, lossless AND lossy).
+    # (+ ~5% REAL lossy-WebP on libwebp machines — round 6) payloads,
+    # so the flagship number exercises the sniff + every fast real
+    # decode path, lossless AND lossy.
     # The scaling legs (suite_only) keep the pure-synth table so the
     # N-vs-4N artifact stays comparable across rounds.
     if suite_only:
@@ -544,13 +559,17 @@ def main() -> None:
     else:
         from pyspark.sql import functions as F
 
+        from perl_data_validate_sanctions_spark.sources import webp_sys
+
         suite_images = build_mixed_images(spark, n_rows, cache_dir)
-        # converted rows are exactly pmod(xxhash64(id), 20) <= 1 (same
-        # predicate as the builder — 0 is PNG, 1 is JPEG; synth rows
-        # with fmt='png'/'jpeg' that were NOT converted carry
-        # fake-codec payloads and are never corrupted)
+        # converted rows are exactly pmod(xxhash64(id), 20) <= k (same
+        # predicate as the builder — 0 PNG, 1 JPEG, 2 lossy webp when
+        # libwebp is loadable; synth rows with fmt='png'/'jpeg' that
+        # were NOT converted carry fake-codec payloads and are never
+        # corrupted)
+        real_k = 2 if webp_sys.available() else 1
         n_planted_real = suite_images.filter(
-            (F.pmod(F.xxhash64("image_id"), F.lit(20)) <= 1)
+            (F.pmod(F.xxhash64("image_id"), F.lit(20)) <= real_k)
             & (F.substring("image_id", 5, 12).cast("long") % 100 == 0)
         ).count()
 
