@@ -150,3 +150,25 @@ def test_integrity_lossy_end_to_end(spark):
     assert v[trunc_id].startswith("undecodable payload")
     assert "psnr" in v[wrong_id]
     assert v[dims_id].startswith("header (webp,64,48) != columns")
+
+
+@needs_libwebp
+def test_lossy_bitflip_fuzz_error_isolated():
+    """Entropy streams may decode a flipped bit into different pixels
+    (caught by the PSNR gate) — but the decode itself must NEVER
+    escape the per-row ValueError contract with any other exception
+    type (same law as the VP8L/JPEG fuzz suites; libwebp failures
+    surface as the null-return ValueError)."""
+    ref = codec.decode_reference("img-lossy-fuzz", 48, 32)
+    blob = bytearray(webp_sys.encode_lossy_gray(ref))
+    rng = np.random.default_rng(23)
+    for _ in range(300):
+        i = int(rng.integers(12, len(blob)))
+        b = int(rng.integers(0, 8))
+        blob[i] ^= 1 << b
+        try:
+            webp_sys.decode_gray(bytes(blob))
+        except ValueError:
+            pass
+        finally:
+            blob[i] ^= 1 << b
