@@ -109,6 +109,20 @@ def build_images(spark, n_rows: int, cache_dir: str):
     return spark.read.parquet(path)
 
 
+def _suite_fixture_desc() -> str:
+    """Self-describing fixture label for the JSON artifact — must track
+    what build_mixed_images actually encodes (three codecs when libwebp
+    is present, two otherwise)."""
+    from perl_data_validate_sanctions_spark.sources import webp_sys
+
+    legs = ("~5% real stdlib PNG + ~5% real baseline-JPEG + ~5% real "
+            "lossy-WebP (system libwebp)"
+            if webp_sys.available()
+            else "~5% real stdlib PNG + ~5% real baseline-JPEG")
+    return (f"mixed: {legs} payloads (planted IDAT flips / truncated "
+            "scans / truncated VP8 partitions verified found)")
+
+
 def build_mixed_images(spark, n_rows: int, cache_dir: str,
                        real_mod: int = 20):
     """The headline-suite fixture: the synthetic table with ~1/real_mod
@@ -949,9 +963,7 @@ def main() -> None:
         "images_per_sec": round(n_rows / t_full, 1),
         "integrity_mode": f"sampled{4096}+exact-escalation "
                           "(violations exactly confirmed)",
-        "suite_fixture": "mixed: ~5% real stdlib PNG + ~5% real "
-                         "baseline-JPEG payloads (planted IDAT flips "
-                         "and truncated scans verified found)",
+        "suite_fixture": _suite_fixture_desc(),
         "n_planted_real_corruptions": n_planted_real,
         "opening_probe_mpxs": opening_probe,
         "section_probes_mpxs": sect.probes,
