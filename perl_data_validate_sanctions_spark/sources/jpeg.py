@@ -46,6 +46,8 @@ import struct
 
 import numpy as np
 
+from . import jpeg_scan_c as _scan_c
+
 # 3-byte sniff prefix: SOI marker + the first 0xFF of the next segment.
 JPEG_MAGIC = b"\xff\xd8\xff"
 
@@ -423,68 +425,85 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
     if n_blocks > max(1, total_bits // 2):
         raise ValueError("frame dimensions exceed scan data")
     zz = np.zeros((n_blocks, 64), dtype=np.int32)
-    # One vectorized pass builds the sliding 32-bit big-endian window
-    # at every byte offset (4 zero pad bytes cover the peek window at
-    # the end of a VALID stream — the per-block cursor check keeps the
-    # cursor in range between blocks); the hot loop then does a single
-    # list index per peek instead of a bytes slice + int.from_bytes.
-    # A corrupt stream can run the cursor past the pad mid-block —
-    # the resulting IndexError is caught at the loop and raised as the
-    # same truncation ValueError the integrity check maps to a
-    # violation row.
-    bb = np.frombuffer(ent + b"\x00\x00\x00\x00", dtype=np.uint8)
-    bb = bb.astype(np.uint32)
-    w32 = (
-        (bb[:-3] << 24) | (bb[1:-2] << 16) | (bb[2:-1] << 8) | bb[3:]
-    ).tolist()
+    # Compiled fast path (sources/jpeg_scan_c.py): an exact C
+    # transliteration of the loop below, ~10× faster per scan. Status
+    # != 0 (any anomaly) re-zeroes zz and runs this reference loop so
+    # every error message/acceptance decision stays Python-produced;
+    # status == 0 is property-tested bit-for-bit identical
+    # (tests/test_jpeg_c_kernel.py).
+    decoded_by_c = False
     bitpos = 0
-    pred = 0
-    try:
-        for b in range(n_blocks):
-            chunk = w32[bitpos >> 3]
-            hit = dc[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
-            if not hit:
-                raise ValueError("invalid DC Huffman code")
-            s = hit >> 8
-            bitpos += hit & 0xFF
-            if s > 11:
-                raise ValueError("bad DC category")
-            if s:
+    if _scan_c.available():
+        status, c_bitpos = _scan_c.decode_scan(
+            ent, total_bits, n_blocks, dc, ac, zz
+        )
+        if status == 0:
+            decoded_by_c = True
+            bitpos = c_bitpos
+        else:
+            zz[:] = 0  # kernel may have partially filled it
+    if not decoded_by_c:
+        # One vectorized pass builds the sliding 32-bit big-endian
+        # window at every byte offset (4 zero pad bytes cover the peek
+        # window at the end of a VALID stream — the per-block cursor
+        # check keeps the cursor in range between blocks); the hot loop
+        # then does a single list index per peek instead of a bytes
+        # slice + int.from_bytes. A corrupt stream can run the cursor
+        # past the pad mid-block — the resulting IndexError is caught
+        # at the loop and raised as the same truncation ValueError the
+        # integrity check maps to a violation row.
+        bb = np.frombuffer(ent + b"\x00\x00\x00\x00", dtype=np.uint8)
+        bb = bb.astype(np.uint32)
+        w32 = (
+            (bb[:-3] << 24) | (bb[1:-2] << 16) | (bb[2:-1] << 8) | bb[3:]
+        ).tolist()
+        pred = 0
+        try:
+            for b in range(n_blocks):
                 chunk = w32[bitpos >> 3]
-                v = (chunk >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
-                bitpos += s
-                pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-            row = zz[b]
-            row[0] = pred
-            k = 1
-            while k < 64:
-                chunk = w32[bitpos >> 3]
-                hit = ac[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
+                hit = dc[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
                 if not hit:
-                    raise ValueError("invalid AC Huffman code")
-                sym = hit >> 8
+                    raise ValueError("invalid DC Huffman code")
+                s = hit >> 8
                 bitpos += hit & 0xFF
-                s = sym & 0x0F
-                if s == 0:
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    raise ValueError(f"bad AC symbol 0x{sym:02X}")
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                chunk = w32[bitpos >> 3]
-                v = (chunk >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
-                bitpos += s
-                row[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-                k += 1
-            if bitpos > total_bits:
-                raise ValueError("truncated scan")
-    except IndexError:
-        # corrupt stream ran the cursor past the padded window
-        raise ValueError("truncated scan") from None
+                if s > 11:
+                    raise ValueError("bad DC category")
+                if s:
+                    chunk = w32[bitpos >> 3]
+                    v = (chunk >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
+                    bitpos += s
+                    pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                row = zz[b]
+                row[0] = pred
+                k = 1
+                while k < 64:
+                    chunk = w32[bitpos >> 3]
+                    hit = ac[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
+                    if not hit:
+                        raise ValueError("invalid AC Huffman code")
+                    sym = hit >> 8
+                    bitpos += hit & 0xFF
+                    s = sym & 0x0F
+                    if s == 0:
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        raise ValueError(f"bad AC symbol 0x{sym:02X}")
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC coefficient index out of range")
+                    chunk = w32[bitpos >> 3]
+                    v = (chunk >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1)
+                    bitpos += s
+                    row[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    k += 1
+                if bitpos > total_bits:
+                    raise ValueError("truncated scan")
+        except IndexError:
+            # corrupt stream ran the cursor past the padded window
+            raise ValueError("truncated scan") from None
 
     nat = np.zeros_like(zz)
     nat[:, _ZIGZAG] = zz

@@ -38,6 +38,8 @@ import zlib
 
 import numpy as np
 
+from . import png_unfilter_c as _unfilter_c
+
 try:  # optional C fast path for big Average/Paeth images — see docstring
     from PIL import Image as _PILImage  # pragma: no cover - not in container
 except Exception:  # pragma: no cover
@@ -159,6 +161,16 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"bad zlib stream: {e}") from e
     if len(raw) != h * (w + 1):
         raise ValueError("decompressed size mismatch")
+    # Compiled fast path (sources/png_unfilter_c.py): an exact C
+    # transliteration of the per-row dispatch below. Every violation
+    # class has already raised above; the only in-stream anomaly left
+    # is an unknown filter byte, for which the kernel returns None and
+    # the reference loop below raises the exact ValueError. Output
+    # equality is property-tested (tests/test_png_c_kernel.py).
+    if _unfilter_c.available():
+        out = _unfilter_c.unfilter(raw, int(h), int(w))
+        if out is not None:
+            return int(w), int(h), out
     if (
         _PILImage is not None and w * h >= _PIL_MIN_PX
     ):  # pragma: no cover - Pillow absent in this container
