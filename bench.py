@@ -109,6 +109,19 @@ def build_images(spark, n_rows: int, cache_dir: str):
     return spark.read.parquet(path)
 
 
+def _native_kernels() -> dict:
+    """Which compiled codec fast paths are live on this machine."""
+    from perl_data_validate_sanctions_spark.sources import (
+        jpeg_scan_c,
+        png_unfilter_c,
+    )
+
+    return {
+        "jpeg_scan_c": jpeg_scan_c.available(),
+        "png_unfilter_c": png_unfilter_c.available(),
+    }
+
+
 def _suite_fixture_desc() -> str:
     """Self-describing fixture label for the JSON artifact — must track
     what build_mixed_images actually encodes (three codecs when libwebp
@@ -964,6 +977,10 @@ def main() -> None:
         "integrity_mode": f"sampled{4096}+exact-escalation "
                           "(violations exactly confirmed)",
         "suite_fixture": _suite_fixture_desc(),
+        # compiled codec fast paths (sources/cbuild.py): annotate so
+        # cross-round decode-leg comparisons are self-explaining — a
+        # gcc-less machine records false here and the pure-Python legs
+        "native_kernels": _native_kernels(),
         "n_planted_real_corruptions": n_planted_real,
         "opening_probe_mpxs": opening_probe,
         "section_probes_mpxs": sect.probes,
