@@ -525,6 +525,60 @@ FROM pairs WHERE uni > 0 AND inter * 1.0 / uni >= 0.3
 """
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group formation over the n-gram Jaccard pair set:
+    operators/dedup.py::near_dup_groups (min-label-propagation
+    connected components; group_id = min doc_id of the component, the
+    same deterministic-survivor rule as exact_duplicate_groups).
+    Reference analog: candidate-set union + first-hit dedup in the
+    query path (Sanctions.pm:253-258) generalized to transitive
+    closure over near-dup evidence."""
+    from perl_data_validate_sanctions_spark.operators.dedup import (
+        near_dup_groups,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, w=3, threshold=0.3)
+    out = near_dup_groups(pairs)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
+# transitive closure via recursive CTE; min(b) covers the self label
+# because every edge (a, b) also closes a→b→a
+_NEAR_DUP_GROUPS_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT id, list_distinct(
+           [array_to_string(toks[i:i+2], ' ')
+            for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+  FROM tok
+), jp AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM sh a JOIN sh b ON a.id < b.id
+), p AS (
+  SELECT id_a, id_b FROM jp WHERE uni > 0 AND inter * 1.0 / uni >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS id, min(b) AS group_id FROM reach GROUP BY a
+"""
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups on normalized text md5."""
     from perl_data_validate_sanctions_spark.operators.dedup import (
@@ -2103,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "rolling_fingerprints": q_rolling_fingerprints,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "near_dup_groups": q_near_dup_groups,
         "exact_dup_groups": q_exact_dup_groups,
         "ann_topk": q_ann_topk,
         "drift_chi2_events": q_drift_chi2_events,
@@ -2155,6 +2210,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_ORACLE,
         "rolling_fingerprints": _rolling_fp_oracle(),
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
+        "near_dup_groups": _NEAR_DUP_GROUPS_ORACLE,
         "exact_dup_groups": _EXACT_DUP_ORACLE,
         "ann_topk": _ANN_ORACLE,
         "drift_chi2_events": _DRIFT_ORACLE,

@@ -522,3 +522,56 @@ def test_combo_blocking_matches_plain_pigeonhole(spark):
     }
     p1, p2 = pairs(1), pairs(2)
     assert p1 == p2 and len(p1) >= 10, (len(p1), len(p2))
+
+
+def test_near_dup_groups_components(spark):
+    """Connected components over near-dup pairs: chain, clique,
+    separate pair, and non-paired ids excluded."""
+    from perl_data_validate_sanctions_spark.operators.dedup import (
+        near_dup_groups,
+    )
+
+    # components: {1,2,3,4} (a chain 1-2, 2-3, 3-4), {10,11,12} (a
+    # triangle), {20,21}; 99 appears in no pair → absent from output
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a int, id_b int",
+    )
+    got = {r["id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_near_dup_groups_deep_chain_converges(spark):
+    """A path graph of length 12 needs ~diameter rounds — converges
+    and labels every vertex with the path head."""
+    from perl_data_validate_sanctions_spark.operators.dedup import (
+        near_dup_groups,
+    )
+
+    n = 13
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a int, id_b int"
+    )
+    got = {r["id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+    # and the max_iter guard raises instead of returning partial labels
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="did not converge"):
+        near_dup_groups(pairs, max_iter=2)
+
+
+def test_near_dup_groups_composes_with_jaccard(spark, docs):
+    """End-to-end: jaccard pairs → groups; survivors via id==group."""
+    from perl_data_validate_sanctions_spark.operators.dedup import (
+        near_dup_groups,
+    )
+
+    uniq = exact_dedup(docs)
+    pairs = ngram_jaccard_pairs(uniq, threshold=0.5)
+    groups = near_dup_groups(pairs)
+    got = {r["id"]: r["group_id"] for r in groups.collect()}
+    # the (0, 3) near-dup pair forms one group keyed by min id 0
+    assert got[0] == 0 and got[3] == 0
