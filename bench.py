@@ -716,6 +716,7 @@ def main() -> None:
         # their own shingle table when run standalone above)
         from perl_data_validate_sanctions_spark.operators.dedup import (
             minhash_lsh_pairs,
+            near_dup_groups,
             ngram_jaccard_pairs,
             shingle_cache,
         )
@@ -723,10 +724,20 @@ def main() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         t0 = time.time()
         with shingle_cache(docs, w=3) as sh:
-            ngram_jaccard_pairs(docs, w=3, threshold=0.3, shingles=sh).count()
+            pairs = ngram_jaccard_pairs(
+                docs, w=3, threshold=0.3, shingles=sh
+            )
+            pairs.count()
             minhash_lsh_pairs(
                 docs, w=3, k=64, bands=32, threshold=0.3, shingles=sh
             ).count()
+            # group formation over the jaccard pairs (pairs → groups —
+            # the label-propagation rounds, not the pair generation,
+            # are what this leg times beyond the two counts above)
+            t_g = time.time()
+            n_grouped = near_dup_groups(pairs).count()
+            timings["near_dup_groups"] = round(time.time() - t_g, 3)
+            timings["near_dup_groups_rows"] = n_grouped
         timings["dedup_suite_shared"] = round(time.time() - t0, 3)
 
         # image-side dedup: pHash near-dups over 150k payloads — the
