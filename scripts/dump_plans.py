@@ -132,6 +132,35 @@ def main() -> None:
                 fromlist=["phash_near_dup_pairs"],
             ).phash_near_dup_pairs(images, max_hamming=6),
     }
+
+    # near_dup_groups: the repeated unit is ONE min-label-propagation
+    # round — dump that round's plan (the operator itself returns a
+    # post-checkpoint scan, which hides it). What to look for: the
+    # only Exchange is the groupBy(id) hash partitioning, its rows
+    # carry just (id, lbl), and the aggregate is partial-first.
+    pair_df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    e = pair_df.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.groupBy("a").agg(F.min("b").alias("nmin"))
+        .select(F.col("a").alias("id"),
+                F.least(F.col("a"), F.col("nmin")).alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    msgs = edges.join(
+        labels.select(F.col("id").alias("a"), "lbl"), "a"
+    ).select(F.col("b").alias("id"), "lbl")
+    sections[
+        "near_dup_groups round (one label-propagation round: edges "
+        "join labels shuffled on the id key — SortMergeJoin is the "
+        "correct join here, BOTH sides are fact-sized at scale — then "
+        "one partial-first groupBy(id); every shuffle row is just "
+        "(a, b) or (id, lbl); scans are the per-round localCheckpoints)"
+    ] = msgs.union(labels).groupBy("id").agg(F.min("lbl").alias("lbl"))
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         f.write(
