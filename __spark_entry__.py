@@ -503,8 +503,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-_JACCARD_ORACLE = """
-WITH tok AS (
+# shared CTE prefix: 3-gram shingles + candidate pair arithmetic — the
+# single source of truth for BOTH the pair oracle and the groups oracle
+# (threshold / tokenization tweaks cannot diverge between them)
+_JACCARD_CTES = """tok AS (
   SELECT doc_id AS id,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      t -> t <> '') AS toks
@@ -519,7 +521,10 @@ WITH tok AS (
          len(list_intersect(a.s, b.s)) AS inter,
          len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
   FROM sh a JOIN sh b ON a.id < b.id
-)
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
 SELECT id_a, id_b, round(inter * 1.0 / uni, 6) AS jaccard
 FROM pairs WHERE uni > 0 AND inter * 1.0 / uni >= 0.3
 """
@@ -547,26 +552,12 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# transitive closure via recursive CTE; min(b) covers the self label
-# because every edge (a, b) also closes a→b→a
-_NEAR_DUP_GROUPS_ORACLE = """
-WITH RECURSIVE tok AS (
-  SELECT doc_id AS id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                     t -> t <> '') AS toks
-  FROM documents
-), sh AS (
-  SELECT id, list_distinct(
-           [array_to_string(toks[i:i+2], ' ')
-            for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
-  FROM tok
-), jp AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         len(list_intersect(a.s, b.s)) AS inter,
-         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-  FROM sh a JOIN sh b ON a.id < b.id
-), p AS (
-  SELECT id_a, id_b FROM jp WHERE uni > 0 AND inter * 1.0 / uni >= 0.3
+# transitive closure via recursive CTE over the SAME pair definition
+# (_JACCARD_CTES); min(b) covers the self label because every edge
+# (a, b) also closes a→b→a
+_NEAR_DUP_GROUPS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES}, p AS (
+  SELECT id_a, id_b FROM pairs WHERE uni > 0 AND inter * 1.0 / uni >= 0.3
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM p
   UNION ALL SELECT id_b, id_a FROM p

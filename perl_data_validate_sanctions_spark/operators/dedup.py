@@ -606,6 +606,9 @@ def near_dup_groups(
 
     Convergence is checked with a first-changed-row probe
     (``limit(1)``), not a full count — one extra cheap job per round.
+    ``max_iter`` bounds the label-CHANGING rounds; one extra
+    stability-probe round runs to observe convergence, so a component
+    that finishes changing exactly at round max_iter still succeeds.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.union(
@@ -621,15 +624,9 @@ def near_dup_groups(
         )
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        msgs = edges.join(
-            labels.select(F.col("id").alias("a"), "lbl"), "a"
-        ).select(F.col("b").alias("id"), "lbl")
-        new_labels = (
-            msgs.union(labels)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+    for _ in range(max_iter + 1):
+        new_labels = _propagation_round(edges, labels).localCheckpoint(
+            eager=True
         )
         changed = (
             new_labels.alias("n")
@@ -646,3 +643,14 @@ def near_dup_groups(
         "component deeper than max_iter; raise max_iter or use a "
         "star-contraction variant"
     )
+
+
+def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation round (shared by near_dup_groups and
+    the PLANS evidence dump, so the dumped plan is by construction the
+    plan that runs): push each vertex's label to its neighbors, then
+    take the min of incoming and current labels per vertex."""
+    msgs = edges.join(
+        labels.select(F.col("id").alias("a"), "lbl"), "a"
+    ).select(F.col("b").alias("id"), "lbl")
+    return msgs.union(labels).groupBy("id").agg(F.min("lbl").alias("lbl"))

@@ -138,6 +138,10 @@ def main() -> None:
     # post-checkpoint scan, which hides it). What to look for: the
     # only Exchange is the groupBy(id) hash partitioning, its rows
     # carry just (id, lbl), and the aggregate is partial-first.
+    from perl_data_validate_sanctions_spark.operators.dedup import (
+        _propagation_round,
+    )
+
     pair_df = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
     )
@@ -151,16 +155,14 @@ def main() -> None:
                 F.least(F.col("a"), F.col("nmin")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    msgs = edges.join(
-        labels.select(F.col("id").alias("a"), "lbl"), "a"
-    ).select(F.col("b").alias("id"), "lbl")
     sections[
-        "near_dup_groups round (one label-propagation round: edges "
-        "join labels shuffled on the id key — SortMergeJoin is the "
-        "correct join here, BOTH sides are fact-sized at scale — then "
-        "one partial-first groupBy(id); every shuffle row is just "
-        "(a, b) or (id, lbl); scans are the per-round localCheckpoints)"
-    ] = msgs.union(labels).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        "near_dup_groups round (one label-propagation round — the "
+        "operator's own _propagation_round: edges join labels shuffled "
+        "on the id key — SortMergeJoin is the correct join here, BOTH "
+        "sides are fact-sized at scale — then one partial-first "
+        "groupBy(id); every shuffle row is just (a, b) or (id, lbl); "
+        "scans are the per-round localCheckpoints)"
+    ] = _propagation_round(edges, labels)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         f.write(

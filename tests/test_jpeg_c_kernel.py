@@ -74,16 +74,15 @@ def _images(draw, max_side: int = 48):
     return np.tile(np.linspace(0, 255, w), (h, 1)).astype(np.uint8)
 
 
+# direct os.environ (restored in finally) rather than monkeypatch:
+# hypothesis @given is incompatible with function-scoped fixtures
 @given(img=_images(), quality=st.integers(35, 95))
 @settings(**_SETTINGS)
 def test_kernel_matches_python_on_valid_streams(img, quality):
-    payload = jpeg.encode_jpeg_gray(img, quality=quality)
-    try:
-        w, h, px_c = jpeg.decode_jpeg_gray(payload)
-    finally:
-        pass
     import os
 
+    payload = jpeg.encode_jpeg_gray(img, quality=quality)
+    w, h, px_c = jpeg.decode_jpeg_gray(payload)
     os.environ["PDVS_JPEG_C"] = "0"
     try:
         w2, h2, px_py = jpeg.decode_jpeg_gray(payload)
