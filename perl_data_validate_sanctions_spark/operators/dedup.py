@@ -52,8 +52,25 @@ def exact_dedup(
 # --- shingles + Jaccard ------------------------------------------------------
 
 def word_shingles(col: Column | str, w: int = 3) -> Column:
-    """Distinct w-token shingles of a document."""
-    toks = words(col)
+    """Distinct w-token shingles of a document.
+
+    NOTE (cost): as a single Column expression the tokenizer
+    (``words(col)``) is inlined into the transform lambda and
+    re-evaluated PER SHINGLE (Catalyst has no let-binding and
+    higher-order functions are interpreted without common-subexpression
+    elimination) — O(|doc|²) work per document. ``_shingle_table``
+    avoids that by materializing the token array in its own projection
+    first (:func:`shingles_from_tokens`); prefer that shape anywhere
+    the document is more than a few tokens."""
+    return shingles_from_tokens(words(col), w)
+
+
+def shingles_from_tokens(toks: Column, w: int = 3) -> Column:
+    """Distinct w-token shingles of an ALREADY-TOKENIZED document.
+
+    When ``toks`` is a bound attribute (a materialized column, not an
+    inline expression) the lambda below references it once per row —
+    the per-element cost is just slice+concat, not a re-tokenize."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
     return F.array_distinct(
@@ -79,12 +96,26 @@ def _shingle_table(
     row-based localCheckpoint for the count-verify path). The caller
     owns the cache's lifetime via :func:`_finish_pairs`, so repeated
     dedup calls don't leak executor storage for the session
-    lifetime."""
+    lifetime.
+
+    Expression shape (round-7, guide §4.4-class duplication): the token
+    array is materialized in its OWN projection so the shingle lambda
+    references an attribute — the old single-expression form inlined
+    the tokenizer into the transform lambda (re-split of the whole text
+    PER SHINGLE ELEMENT, O(|doc|²)/row; HOFs are interpreted with no
+    CSE) AND into a pushed-down ``size(sh) > 0`` filter that
+    re-evaluated the entire chain a second time below the exchange.
+    That filter only ever dropped null-text rows (``sh`` is never an
+    empty array: empty-token docs yield ``[""]``, matching the DuckDB
+    oracle's ``array_to_string`` of an empty slice), so it is now the
+    equivalent ``text IS NOT NULL`` scan-pushable predicate. Measured
+    3.65 s → 0.45 s for the 5000-doc build at sf0.1 (plans/r07)."""
     sh = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2,
-                       F.col(id_col))
-        .select(F.col(id_col).alias("id"), word_shingles(text_col, w).alias("sh"))
-        .filter(F.size("sh") > 0)
+        df.filter(F.col(text_col).isNotNull())
+        .repartition(df.sparkSession.sparkContext.defaultParallelism * 2,
+                     F.col(id_col))
+        .select(F.col(id_col).alias("id"), words(text_col).alias("__toks"))
+        .select("id", shingles_from_tokens(F.col("__toks"), w).alias("sh"))
     )
     return sh.cache() if cache else sh
 
@@ -213,22 +244,23 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
         return _finish_pairs(out, sh if own else None) if cache else out
-    sizes = sh.select("id", F.size("sh").alias("n"))
-    inter = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), "s")
+    # sizes ride the exploded rows (+4 B/row) instead of joining back
+    # after the pair aggregation: at bench scale that removes two
+    # broadcast-join builds (two extra jobs), and at 10^9-doc scale it
+    # removes a pairs⋈sizes join that would no longer broadcast at all
+    # (guide §2.3 "shuffle keys and metadata instead of payloads" —
+    # na/nb are functionally dependent on the group key, recovered with
+    # a min aggregate)
+    sized = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    out = (
+        sized.alias("a")
+        .join(sized.alias("b"), "s")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
-            "id_b",
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
         )
         .withColumn(
             "jaccard",
@@ -294,12 +326,30 @@ def minhash_lsh_pairs(
     rows_per_band = k // bands
     own = shingles is None
     sh = _shingle_table(df, text_col, id_col, w, cache) if own else shingles
-    sig = sh.select("id", minhash_signature(F.col("sh"), k).alias("sig"))
+    # signature minima via explode + ONE codegen'd HashAggregate of k
+    # mins (bit-identical values to minhash_signature's aggregate/
+    # zip_with form — same xxhash64(seed_i, shingle) per element, same
+    # min — but higher-order functions are interpreted expression-tree
+    # walks with boxed per-element closures, while min() aggregates run
+    # in whole-stage codegen with map-side partials; the groupBy reuses
+    # the shingle table's id-partitioning, so no exchange is added)
+    mins = (
+        sh.select("id", F.explode("sh").alias("s"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"__m{i}")
+                for i in range(k)
+            ]
+        )
+    )
     # band explode carries ONLY (id, band, bucket) — never the shingle
     # array (the old 32-way explode duplicated every shingle set 32×
     # through the shuffle); candidate ids join their sets back after
-    # the distinct, when the pair set is already LSH-small
-    banded = sig.select(
+    # the distinct, when the pair set is already LSH-small. Buckets
+    # hash the same comma-joined minima as before (concat_ws renders
+    # longs identically), so candidates are bit-identical too.
+    banded = mins.select(
         "id",
         F.explode(
             F.array(
@@ -310,7 +360,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    F.col(f"__m{b * rows_per_band + r}")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -544,31 +594,35 @@ def hamming_near_dup_pairs(
     blocks = signature_block_combo_cols(
         F.col("sig"), n_blocks, s=int(s), n_bits=n_bits
     )
+    # the signature (8 B) rides the blocked explode, so candidates are
+    # hamming-verified IN the join projection and deduplicated only
+    # AFTER the ≤ max_hamming filter (a near-dup-small set) — the old
+    # shape deduplicated the full candidate set (a multi-million-row
+    # distinct shuffle at 150k images) and then joined the signatures
+    # back twice. One self-join (the build side is the same exchange,
+    # reused), no join-backs. hamming is a pure function of the pair,
+    # so dedup-after-verify returns the identical pair set.
     blocked = sig.select(
-        "id", F.explode(F.array(*blocks)).alias("bb")
-    ).select("id", "bb.blk", "bb.val")
-    cands = (
-        blocked.alias("a")
-        .join(blocked.alias("b"), ["blk", "val"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        "id", "sig", F.explode(F.array(*blocks)).alias("bb")
+    ).select("id", "sig", "bb.blk", "bb.val")
+    # SHUFFLE_HASH: the sides are the same exploded table, so Catalyst's
+    # size estimate routinely lands under the broadcast threshold and
+    # builds a multi-million-row broadcast hash relation (single-
+    # threaded driver collect+serialize — measured 4.4 s vs 1.2 s for
+    # the shuffled hash join on 150k×28-row sides). A self-join of
+    # equal sides should never broadcast; shuffled-hash beats sort-merge
+    # because per-partition build sides are small (guide §3.1).
     return (
-        cands.join(
-            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
-            "id_a",
-        )
-        .join(
-            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
-            "id_b",
-        )
+        blocked.alias("a")
+        .join(blocked.alias("b").hint("shuffle_hash"), ["blk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            "id_a",
-            "id_b",
-            hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -443,14 +443,14 @@ def phash_near_dup_pairs(
     sig = compute_phash(df).select(
         F.col("image_id").alias("id"), F.col("phash64").alias("sig")
     )
-    # the hamming join consumes the signature table THREE times (block
-    # explode + two per-candidate join-backs); for SimHash that's a
-    # cheap native Column recompute, but here each pass would re-run
-    # the Python decode+DCT stage — materialize once (eager local
-    # checkpoint, the runner-cube precedent: blocks are reclaimed when
-    # the result plan is GC'd, unlike a CacheManager entry). With this
-    # plus s=2 blocking: 150k images in ~19 s (was 134 s join-bound
-    # under s=1's 9-bit keys), recall identical.
-    sig = sig.localCheckpoint(eager=True)
+    # Round 7: the restructured hamming join consumes the signature
+    # table ONCE (the signature rides the block explode; both self-join
+    # sides are the same exchange, which AQE reuses — no per-candidate
+    # join-backs), so the round-6 eager localCheckpoint that shielded
+    # the Python decode+DCT stage from repeated passes became a pure
+    # extra materialization: dropping it took the 150k-image run from
+    # ~8.7 s (ckpt 2.7 + join 6.0) to ~4.8 s end-to-end (was 134 s in
+    # round 5 under s=1's 9-bit keys, 19 s in round 6), recall
+    # identical (299 planted pairs found).
     return hamming_near_dup_pairs(sig, max_hamming=max_hamming,
                                   n_blocks=n_blocks, n_bits=64, s=s)
