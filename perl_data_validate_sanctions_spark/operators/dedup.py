@@ -679,17 +679,20 @@ def near_dup_groups(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter + 1):
-        new_labels = _propagation_round(edges, labels).localCheckpoint(
-            eager=True
-        )
+        # the round carries each vertex's OLD label through the
+        # aggregation (max over the union: only the self row is
+        # non-null), so the convergence probe is a filter+limit over
+        # the just-checkpointed blocks — the round-6 shape re-joined
+        # new labels against old ones, a second shuffle job per round
+        new_labels = _propagation_round(
+            edges, labels, with_old=True
+        ).localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.select("id", F.col("lbl").alias("old")), "id")
-            .filter(F.col("lbl") != F.col("old"))
+            new_labels.filter(F.col("lbl") != F.col("old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "lbl")
         if changed == 0:
             return labels.select("id", F.col("lbl").alias("group_id"))
     raise ValueError(
@@ -699,12 +702,28 @@ def near_dup_groups(
     )
 
 
-def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def _propagation_round(
+    edges: DataFrame, labels: DataFrame, with_old: bool = False
+) -> DataFrame:
     """One min-label-propagation round (shared by near_dup_groups and
     the PLANS evidence dump, so the dumped plan is by construction the
     plan that runs): push each vertex's label to its neighbors, then
-    take the min of incoming and current labels per vertex."""
+    take the min of incoming and current labels per vertex.
+
+    ``with_old=True`` additionally returns each vertex's previous label
+    as ``old`` (max over the union — only the self row carries it, and
+    every vertex has a self row), letting the caller's convergence
+    probe read the round's own output instead of re-joining against the
+    previous labels."""
     msgs = edges.join(
         labels.select(F.col("id").alias("a"), "lbl"), "a"
     ).select(F.col("b").alias("id"), "lbl")
-    return msgs.union(labels).groupBy("id").agg(F.min("lbl").alias("lbl"))
+    if not with_old:
+        return msgs.union(labels).groupBy("id").agg(F.min("lbl").alias("lbl"))
+    lbl_t = labels.schema["lbl"].dataType
+    tagged = msgs.select(
+        "id", "lbl", F.lit(None).cast(lbl_t).alias("old")
+    ).union(labels.select("id", "lbl", F.col("lbl").alias("old")))
+    return tagged.groupBy("id").agg(
+        F.min("lbl").alias("lbl"), F.max("old").alias("old")
+    )

@@ -508,7 +508,16 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
     nat = np.zeros_like(zz)
     nat[:, _ZIGZAG] = zz
     d = (nat * qts[tq]).astype(np.float64).reshape(-1, 8, 8)
-    spatial = np.einsum("ji,njk,kl->nil", _T, d, _T) + 128.0
+    # Tᵀ·d·T as two stacked matmuls, not a 3-operand einsum: numpy's
+    # un-optimized c_einsum contracts all indices in one generic-stride
+    # nested loop (~0.65 ms per image in the round-7 integrity profile,
+    # the single hottest line of the whole suite); the matmul pair runs
+    # the same contraction ~10× faster. Summation order technically
+    # differs, but after round+clip the decoded pixels were verified
+    # bit-identical across every pinned fixture payload, 3000
+    # bench-style renders and 300 random size/quality images
+    # (tests/test_jpeg.py::test_idct_matmul_matches_einsum pins this).
+    spatial = _T.T @ d @ _T + 128.0
     pixels = (
         np.clip(np.round(spatial), 0, 255)
         .astype(np.uint8)

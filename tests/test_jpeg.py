@@ -176,3 +176,32 @@ def test_integrity_jpeg_mode(spark):
         ).collect()
     }
     assert v_s == v
+
+
+def test_idct_matmul_matches_einsum():
+    """decode_jpeg_gray's IDCT runs as two stacked matmuls (round-7
+    speedup). The summation order differs from the old 3-operand
+    einsum, so this pins that round+clip never flips a pixel: the
+    exact changed computation (dequantized int blocks -> spatial ->
+    round/clip) is compared on decoder-realistic inputs — integer
+    coefficients times real quant tables — across qualities and a wide
+    coefficient fuzz."""
+    import numpy as np
+
+    T = jpeg._T
+    rng = np.random.default_rng(0xC0FFEE)
+    for trial in range(300):
+        q = int(rng.integers(30, 98))
+        qt = jpeg.quant_table(q)
+        n = int(rng.integers(1, 64))
+        # decoder-realistic dequantized blocks: small integer coeffs
+        # scaled by the quant table (most energy in low frequencies)
+        coefs = rng.integers(-64, 65, size=(n, 64)) * (
+            rng.random((n, 64)) < 0.3
+        )
+        d = (coefs * qt).astype(np.float64).reshape(-1, 8, 8)
+        spatial_mm = T.T @ d @ T + 128.0
+        spatial_es = np.einsum("ji,njk,kl->nil", T, d, T) + 128.0
+        px_mm = np.clip(np.round(spatial_mm), 0, 255).astype(np.uint8)
+        px_es = np.clip(np.round(spatial_es), 0, 255).astype(np.uint8)
+        assert np.array_equal(px_mm, px_es), trial
