@@ -361,23 +361,52 @@ def _area_resize_block(block: np.ndarray, t: int = PHASH_SIZE) -> np.ndarray:
     """(n, h, w) → (n, t, t) float64 by integer-edge area mean per axis
     (the buckets differ in size by ≤1 pixel); an axis SMALLER than t
     upsamples by nearest-index instead (edges would repeat). Fully
-    vectorized across the n images of a decoded group block."""
+    vectorized across the n images of a decoded group block.
 
-    def one_axis(x: np.ndarray, size: int, axis: int) -> np.ndarray:
-        if size >= t:
-            edges = (np.arange(t + 1) * size) // t
-            sums = np.add.reduceat(x, edges[:-1], axis=axis)
-            counts = np.diff(edges).astype(np.float64)
-            shape = [1, 1, 1]
-            shape[axis] = t
-            return sums / counts.reshape(shape)
-        idx = (np.arange(t) * size) // t
-        return np.take(x, idx, axis=axis)
-
-    x = block.astype(np.float64)
+    Round 7: the first-axis reduce runs directly on the uint8 block
+    with an int64 accumulator (uint8 sums are exact in BOTH int64 and
+    float64, so the result is bit-identical to the old
+    whole-block-astype form) and every multi-MB intermediate comes from
+    the codec's per-worker scratch pool — the old fresh ``astype`` +
+    ``reduceat`` allocations were the top two symbols of the phash
+    worker profile (412 of 558 core-s, dominated by first-touch page
+    faults on cold workers). The returned array ALIASES a pool slot,
+    valid until the next call."""
     n, h, w = block.shape
-    x = one_axis(x, h, 1)
-    return one_axis(x, w, 2)
+    if not np.issubdtype(block.dtype, np.integer):  # pragma: no cover
+        # exact-int accumulation only holds for integer pixels; any
+        # float caller keeps the reference float64 pipeline
+        block = block.astype(np.float64)
+    x1 = codec._pool_buf("ph_rs_f1", n * t * w, np.float64).reshape(n, t, w)
+    if h >= t:
+        edges = (np.arange(t + 1) * h) // t
+        acc_t = (np.int64 if np.issubdtype(block.dtype, np.integer)
+                 else np.float64)
+        sums = codec._pool_buf("ph_rs_acc", n * t * w, acc_t).reshape(
+            n, t, w
+        )
+        np.add.reduceat(block, edges[:-1], axis=1, dtype=acc_t, out=sums)
+        counts = np.diff(edges).astype(np.float64).reshape(1, t, 1)
+        np.divide(sums, counts, out=x1)
+    else:
+        idx = (np.arange(t) * h) // t
+        x1[...] = block[:, idx, :]
+    if w >= t:
+        edges = (np.arange(t + 1) * w) // t
+        sums2 = codec._pool_buf("ph_rs_f2", n * t * t, np.float64).reshape(
+            n, t, t
+        )
+        np.add.reduceat(x1, edges[:-1], axis=2, out=sums2)
+        counts2 = np.diff(edges).astype(np.float64).reshape(1, 1, t)
+        out = codec._pool_buf("ph_rs_out", n * t * t, np.float64).reshape(
+            n, t, t
+        )
+        np.divide(sums2, counts2, out=out)
+        return out
+    idx = (np.arange(t) * w) // t
+    out = codec._pool_buf("ph_rs_out", n * t * t, np.float64).reshape(n, t, t)
+    out[...] = x1[:, :, idx]
+    return out
 
 
 def phash_block(block: np.ndarray) -> np.ndarray:
