@@ -343,6 +343,20 @@ def run_validation(
             violations = pieces[0]
             for p in pieces[1:]:
                 violations = violations.unionByName(p)
+            # the union of ~10 checkpointed pieces carries the SUM of
+            # their partition counts (~300 at 32 cores) — every
+            # downstream consumer (two rollups + the caller's reads,
+            # or the sink write) would launch that many near-empty
+            # tasks, and the sink would land that many tiny files.
+            # A narrow coalesce to the session's parallelism bounds
+            # task count and output file count without a shuffle
+            # (violation rows are a tiny fraction of the input by
+            # construction; ordering is irrelevant to the rollups).
+            # (coalesce to a LARGER count is a no-op, so this never
+            # reduces parallelism below the session's)
+            violations = violations.coalesce(
+                spark.sparkContext.defaultParallelism
+            )
         else:
             violations = spark.createDataFrame([], VIOLATION_SCHEMA)
         if _timing:
