@@ -150,6 +150,38 @@ class _MatcherIndex:
         return best
 
 
+# Worker-process index cache (guide §4.5: heavyweight per-task init →
+# module-level global guarded by PID, legal because this module is
+# importable on executors — not pickled by value). Building
+# _MatcherIndex over the full 15,664-entry dimension costs ~0.3 s and
+# ran once PER TASK (~60-200 tasks per 600k-row pass); a reused Python
+# worker (spark.python.worker.reuse, the default) now builds it once
+# per DIMENSION CONTENT per process. The key is a sha1 over the
+# pickled dimension rows, computed on the driver — content-addressed,
+# so a changed dimension can never hit a stale index; insertion order
+# is bounded so a long-lived worker can't accumulate dimensions. The
+# cached object is an index over the (broadcast-scale) dimension only —
+# never over scanned data — mirroring the reference's own in-process
+# ``_index`` multimap (Sanctions.pm:346-348).
+_INDEX_CACHE: dict[tuple[int, str], "_MatcherIndex"] = {}
+_INDEX_CACHE_MAX = 4
+
+
+def _worker_index(content_key: str, bc) -> "_MatcherIndex":
+    import os
+
+    pid = os.getpid()
+    key = (pid, content_key)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = _MatcherIndex(bc.value)
+        mine = [k for k in _INDEX_CACHE if k[0] == pid]
+        if len(mine) >= _INDEX_CACHE_MAX:
+            _INDEX_CACHE.pop(mine[0], None)
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
 def match_captions_arrow(
     images: DataFrame,
     entries: DataFrame,
@@ -168,9 +200,15 @@ def match_captions_arrow(
 
     id_type = images.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, list string, matched_name string"
+    import hashlib
+    import pickle
+
+    content_key = hashlib.sha1(
+        pickle.dumps(dim_rows)
+    ).hexdigest()
 
     def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index = _MatcherIndex(bc.value)
+        index = _worker_index(content_key, bc)
         for pdf in batches:
             ids, lists, names = [], [], []
             caps = pdf[caption_col]
